@@ -1,0 +1,141 @@
+"""PageRank as checkpointed DataFrame supersteps.
+
+The flagship query (BASELINE.json metric: edges-processed/sec per
+superstep, convergence at per-vertex delta < 1e-6). Reuses the
+reference's superstep skeleton (SURVEY.md §2.K): J2 state-gather join,
+A2 degree normalization, X6 scalar-driven convergence loop.
+
+Scale design:
+* ``edges_norm`` (edge weight / source out-weight) is computed ONCE
+  and cached/persisted — the per-iteration work is a single join +
+  single aggregation, nothing else touches the edge table.
+* the state⋈edges join broadcasts the state when the vertex count is
+  under ``broadcast_threshold`` (local + small graphs), otherwise it
+  shuffle-joins on src against the src-bucketed adjacency layout so
+  the big side does not re-shuffle each superstep.
+* hub skew on the dst-side aggregation is absorbed by map-side
+  partial aggregation (sum is associative) + AQE; an explicit
+  salted two-level aggregation is available for extreme in-degree
+  skew (salt_hubs=True).
+* one Spark action per superstep: delta, dangling mass for the NEXT
+  step, and (optionally) nothing else are computed in a single agg
+  over the new state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.plans.superstep import SuperstepRunner
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    broadcast_threshold: int = 5_000_000,
+    salt_hubs: bool = False,
+    n_salts: int = 8,
+    checkpoint_dir: str | None = None,
+    run_id: str = "pagerank",
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Power iteration to ``max |score - score'| < tol``.
+
+    edges: directed (src, dst, weight). Dangling vertices (no
+    out-edges) redistribute their mass uniformly — the standard
+    formulation, matched exactly by the NumPy oracle in tests.
+    Returns (id:long, score:double).
+    """
+    edges = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"),
+        F.coalesce(F.col("weight"), F.lit(1.0)).cast("double").alias("weight"),
+    )
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # normalized transition weights — computed once, reused every superstep
+    edges_norm = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .persist()
+    )
+    n = verts.count()  # also materializes verts
+    if n == 0:
+        return spark.createDataFrame([], "id long, score double")
+
+    dangling_flag = verts.join(out_w, verts.id == out_w.src, "left").select(
+        "id", F.col("out_w").isNull().alias("is_dangling")
+    )
+    state = dangling_flag.withColumn("score", F.lit(1.0 / n))
+
+    small = n <= broadcast_threshold
+    # dangling mass is carried across supersteps by `converge`; None
+    # means "recompute from current state" — covers both the first
+    # superstep and a mid-run resume from a durable checkpoint.
+    ctx: dict[str, float | None] = {"dangling": None}
+
+    def step(st: DataFrame, i: int) -> DataFrame:
+        if ctx["dangling"] is None:
+            ctx["dangling"] = float(
+                st.agg(
+                    F.sum(F.when(F.col("is_dangling"), F.col("score")).otherwise(0.0))
+                ).first()[0]
+                or 0.0
+            )
+        scores = st.select("id", "score")
+        if small:
+            scores = F.broadcast(scores)
+        contribs = edges_norm.join(scores, edges_norm.src == scores.id).select(
+            F.col("dst"), (F.col("score") * F.col("p")).alias("contrib")
+        )
+        if salt_hubs:
+            # two-level agg: partial per (dst, salt), final per dst —
+            # the degree-bucket idea from the reference GPU kernels
+            # (SURVEY.md §4 X2) expressed as salted aggregation.
+            salted = contribs.withColumn(
+                "salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+            )
+            incoming = (
+                salted.groupBy("dst", "salt")
+                .agg(F.sum("contrib").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("incoming"))
+            )
+        else:
+            incoming = contribs.groupBy("dst").agg(F.sum("contrib").alias("incoming"))
+
+        base = (1.0 - damping) / n + damping * ctx["dangling"] / n
+        return st.join(incoming, st.id == incoming.dst, "left").select(
+            st.id,
+            st.is_dangling,
+            st.score.alias("old_score"),
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))).alias(
+                "score"
+            ),
+        )
+
+    def converge(old: DataFrame, new: DataFrame, i: int) -> tuple[bool, float]:
+        # single action over the barriered frame: max per-vertex delta
+        # + dangling mass for the NEXT superstep's base term
+        row = new.agg(
+            F.max(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
+            F.sum(F.when(F.col("is_dangling"), F.col("score")).otherwise(0.0)).alias("dmass"),
+        ).first()
+        delta = float(row["delta"])
+        ctx["dangling"] = float(row["dmass"] or 0.0)
+        return delta < tol, delta
+
+    runner = runner or SuperstepRunner(
+        spark, run_id=run_id, checkpoint_dir=checkpoint_dir, max_iter=max_iter
+    )
+    final = runner.run(state, step, converge)
+    edges_norm.unpersist()
+    return final.select("id", "score")

@@ -1,0 +1,147 @@
+"""Checkpointed superstep execution — the engine's iteration substrate.
+
+All four north-star queries (PageRank / CC / LPA / Louvain rounds) are
+fixpoint recurrences ``state' = step(state)``. Iterative DataFrame code
+has one dominant failure mode: the logical plan grows with every
+iteration until planning time/driver memory explodes (SURVEY.md §7
+watch list). This module owns the fix:
+
+* ``barrier(df)`` truncates lineage every superstep via an eager
+  ``localCheckpoint`` (executor-local materialization, no disk round
+  trip — the cheap intra-run barrier);
+* ``SuperstepRunner`` adds durable parquet checkpoints every
+  ``checkpoint_every`` supersteps + a JSON manifest, making a run
+  resumable mid-iteration (north_rule: "resumable from checkpoint"),
+  and appends per-superstep convergence/row metrics to a parquet
+  metrics table (the Spark analog of the reference's hierarchical
+  timers, ``src/timer.h:8-11``, and its per-iteration cost print,
+  ``src/louvain.cpp:462``).
+
+State tables are small relative to edges (one row per vertex), so a
+durable checkpoint is one narrow parquet write; edges are never
+checkpointed — they are immutable per graph version.
+
+Execution order per superstep (exactly one materialization of the
+step's plan): ``new = step(state, i)`` builds the plan lazily →
+``barrier(new)`` materializes it → ``converge(state, new, i)`` runs
+its scalar aggregate against the already-materialized frame (cheap).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def barrier(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage (eager executor-local checkpoint)."""
+    return df.localCheckpoint(eager=True)
+
+
+@dataclass
+class SuperstepRunner:
+    """Drives ``state' = step(state, i)`` to a fixpoint with barriers,
+    durable checkpoints, and a metrics log.
+
+    ``step(state, i) -> new_state`` builds the next state's plan
+    (lazy). ``converge(old, new, i) -> (converged, delta)`` runs after
+    the barrier, against materialized data — delta is whatever scalar
+    the query's convergence test produced (max |score diff| for
+    PageRank, move count for LPA/Louvain), logged per superstep like
+    the reference's printed per-pass modularity.
+    """
+
+    spark: SparkSession
+    run_id: str = "run"
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 10
+    max_iter: int = 200
+    metrics: list[dict] = field(default_factory=list)
+
+    # ---- durable checkpoint plumbing -------------------------------
+    def _ckpt_path(self, superstep: int) -> str:
+        return os.path.join(self.checkpoint_dir, self.run_id, f"superstep={superstep}")
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, self.run_id, "MANIFEST.json")
+
+    def save_checkpoint(self, state: DataFrame, superstep: int) -> None:
+        path = self._ckpt_path(superstep)
+        state.write.mode("overwrite").parquet(path)
+        manifest = {"run_id": self.run_id, "superstep": superstep, "path": path}
+        with open(self._manifest_path(), "w") as f:
+            json.dump(manifest, f)
+
+    def load_checkpoint(self) -> tuple[DataFrame, int] | None:
+        """Resume point: (state, last_completed_superstep) or None."""
+        if not self.checkpoint_dir:
+            return None
+        mp = self._manifest_path()
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            manifest = json.load(f)
+        return self.spark.read.parquet(manifest["path"]), manifest["superstep"]
+
+    # ---- the loop ---------------------------------------------------
+    def run(
+        self,
+        state: DataFrame,
+        step: Callable[[DataFrame, int], DataFrame],
+        converge: Callable[[DataFrame, DataFrame, int], tuple[bool, float]],
+        resume: bool = True,
+    ) -> DataFrame:
+        start_step = 0
+        if resume and self.checkpoint_dir:
+            loaded = self.load_checkpoint()
+            if loaded is not None:
+                state, last = loaded
+                start_step = last + 1
+        state = barrier(state)
+        for i in range(start_step, self.max_iter):
+            t0 = time.perf_counter()
+            new_state = barrier(step(state, i))
+            converged, delta = converge(state, new_state, i)
+            state.unpersist()
+            state = new_state
+            dt = time.perf_counter() - t0
+            self.metrics.append(
+                {
+                    "run_id": self.run_id,
+                    "superstep": i,
+                    "seconds": dt,
+                    "delta": float(delta),
+                    "converged": bool(converged),
+                }
+            )
+            if self.checkpoint_dir and (
+                converged or (i + 1) % self.checkpoint_every == 0
+            ):
+                self.save_checkpoint(state, i)
+            if converged:
+                break
+        return state
+
+    def write_metrics(self, path: str) -> None:
+        """Persist the metrics log (reference timer-tree analog)."""
+        if not self.metrics:
+            return
+        df = self.spark.createDataFrame(
+            [
+                (
+                    m["run_id"],
+                    int(m["superstep"]),
+                    float(m["seconds"]),
+                    float(m["delta"]),
+                    bool(m["converged"]),
+                )
+                for m in self.metrics
+            ],
+            schema="run_id string, superstep int, seconds double, delta double, converged boolean",
+        )
+        df.write.mode("append").parquet(path)
