@@ -57,6 +57,22 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(spark, undirected_edges(spark, sf_dir))
 
 
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fixpoint (converges in ~5 rounds at sf0.01; oracle unrolls 8 —
+    min-propagation is monotone so extra oracle rounds are no-ops)."""
+    from linkgraph.operators.components import connected_components
+
+    return connected_components(spark, undirected_edges(spark, sf_dir), max_iter=50)
+
+
+def _q_lpa_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.operators.lpa import label_propagation
+    from linkgraph.plans.superstep import SuperstepRunner
+
+    runner = SuperstepRunner(spark, run_id="lpa_k4", max_iter=4)
+    return label_propagation(spark, undirected_edges(spark, sf_dir), runner=runner)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PageRank to 1e-6 convergence on the sf0.001
     link graph (BASELINE.json primary metric's query)."""
@@ -72,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": _q_degrees,
         "pagerank_k8": _q_pagerank_k8,
         "triangle_count": _q_triangle_count,
+        "connected_components": _q_connected_components,
+        "lpa_k4": _q_lpa_k4,
     }
 
 
@@ -106,6 +124,61 @@ def _pagerank_sql(k: int) -> str:
     return body + f"SELECT id, ROUND(score, 7) AS score FROM s{k}"
 
 
+def _cc_sql(k: int) -> str:
+    """Unrolled k-round synchronous min-label propagation (monotone:
+    any k >= the true round count yields the fixpoint)."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "  verts AS (SELECT DISTINCT src AS id FROM edges),",
+        "  c0 AS (SELECT id, id AS component FROM verts),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""  c{i} AS (
+    SELECT v.id,
+           least(c.component, coalesce(min(cn.component), c.component)) AS component
+    FROM verts v
+    JOIN c{i - 1} c ON c.id = v.id
+    LEFT JOIN edges e ON e.src = v.id
+    LEFT JOIN c{i - 1} cn ON cn.id = e.dst
+    GROUP BY v.id, c.component
+  ),"""
+        )
+    body = "\n".join(parts).rstrip(",\n") + "\n"
+    return body + f"SELECT id, component FROM c{k}"
+
+
+def _lpa_sql(k: int) -> str:
+    """Unrolled k-round synchronous LPA with the engine's exact
+    selection semantics: argmax summed weight, keep current label when
+    it attains the max, else lowest label."""
+    parts = [
+        f"WITH {EDGES_CTE},",
+        "  verts AS (SELECT DISTINCT src AS id FROM edges),",
+        "  l0 AS (SELECT id, id AS label FROM verts),",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""  l{i} AS (
+    SELECT vid AS id, nbr_label AS label FROM (
+      SELECT e.src AS vid, ln.label AS nbr_label, cur.label AS cur_label,
+             sum(e.weight) AS w
+      FROM edges e
+      JOIN l{i - 1} ln ON ln.id = e.dst
+      JOIN l{i - 1} cur ON cur.id = e.src
+      WHERE e.src <> e.dst
+      GROUP BY e.src, ln.label, cur.label
+      QUALIFY row_number() OVER (
+        PARTITION BY e.src
+        ORDER BY w DESC, (nbr_label = cur_label) DESC, nbr_label ASC
+      ) = 1
+    )
+  ),"""
+        )
+    body = "\n".join(parts).rstrip(",\n") + "\n"
+    return body + f"SELECT id, label FROM l{k}"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": f"WITH {EDGES_CTE} SELECT src, dst, weight FROM edges",
@@ -122,4 +195,6 @@ def oracle_sql() -> dict[str, str]:
             FROM canon e1
             JOIN canon e2 ON e1.dst = e2.src
             JOIN canon e3 ON e1.src = e3.src AND e2.dst = e3.dst""",
+        "connected_components": _cc_sql(8),
+        "lpa_k4": _lpa_sql(4),
     }
