@@ -1,0 +1,388 @@
+"""Multi-level (Louvain) modularity optimization — synchronous-round
+DataFrame supersteps with the reference GPU path's exact semantics.
+
+Reference parity (all citations into /root/reference):
+
+* gain formula  — ``computeGain``, src/gpu-louvain/modularity_optimisation.cu:96-102:
+  ``gain(v->C) = e(v->C)/M + k_v * ((tot_{C(v)} - k_v) - tot_C) / (2*M*M)``
+* candidate set — neighboring communities only, C != C(v), self-loop
+  edges excluded from e(v->C) (``neighbour != vertex`` guard, :149-151)
+* swap guard    — ``C < C(v) || size(C) > 1 || size(C(v)) > 1``
+  (:154-155) — prevents synchronous singleton-swap livelock
+* selection     — argmax gain, ties -> lowest community id (:157-160)
+* acceptance    — move iff ``bestGain - e(v->C(v)\\v)/M > 0`` (:192-196)
+* round loop    — recompute community weights fully each round
+  (:339-341, the GPU's restart-safe strategy, SURVEY.md §4 X5);
+  continue while per-round modularity gain >= min_gain
+  (``optimiseModularity`` loop :319-365)
+* modularity    — ``Q = sum_v e(v->C(v))/(2M) - sum_c tot_c^2/(4M^2)``
+  (``calculateModularity``, :483-521)
+* contraction   — quotient graph by double join + sum (A7,
+  ``community_aggregation.cu:248-347``); communities renumbered dense
+  by ascending id (A6, the exclusive-scan ordering, :267-273)
+* level loop    — while any round in the level improved; a warm-started
+  run forces a second level (``gpulouvain.cu:107-118``)
+* warm start    — init_partition seeds level-0 communities
+  (``init_partition``, utils.cu:176-207)
+* frontier      — level-0 move evaluation restricted to R
+  (``optimiseModularityUsingVertexSubset``; J3 semi-join)
+
+Determinism: all gain inputs (e, k, tot) are sums of edge weights —
+exact in float64 for integer-valued weights — and the gain expression
+is evaluated with the identical operation tree in the NumPy oracle,
+so label equality is exact (SURVEY.md §7 determinism note).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from linkgraph.plans.superstep import barrier
+
+
+@dataclass
+class LouvainResult:
+    assignment: DataFrame  # (id:long, community:long) at original ids, dense
+    hierarchy: DataFrame  # (level:int, node:long, community:long)
+    modularity: float
+    levels: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _normalize(edges: DataFrame) -> DataFrame:
+    return edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.coalesce(F.col("weight"), F.lit(1.0)).cast("double").alias("weight"),
+    )
+
+
+def _k_table(e: DataFrame) -> DataFrame:
+    """vertexEdgesSum: sum of incident weights, self-loop once
+    (``computeEdgesSum``, modularity_optimisation.cu:23-40)."""
+    return e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k"))
+
+
+def _modularity(e: DataFrame, state: DataFrame, k_df: DataFrame, m: float) -> float:
+    labels_s = state.select(F.col("id").alias("sid"), F.col("community").alias("cs"))
+    labels_d = state.select(F.col("id").alias("did"), F.col("community").alias("cd"))
+    # NOTE: self-loops ARE included here (calculateToOwnCommunity has no
+    # neighbour != vertex guard, modularity_optimisation.cu:483-505) —
+    # this keeps Q invariant across contraction levels.
+    e_own = (
+        e.join(labels_s, F.col("src") == F.col("sid"))
+        .join(labels_d, F.col("dst") == F.col("did"))
+        .filter(F.col("cs") == F.col("cd"))
+        .agg(F.sum("weight").alias("w"))
+        .first()["w"]
+        or 0.0
+    )
+    tot_sq = (
+        state.join(k_df, "id")
+        .groupBy("community")
+        .agg(F.sum("k").alias("tot"))
+        .agg(F.sum(F.col("tot") * F.col("tot")).alias("t"))
+        .first()["t"]
+        or 0.0
+    )
+    return float(e_own) / (2.0 * m) - float(tot_sq) / (4.0 * m * m)
+
+
+def _move_round(
+    e: DataFrame,
+    state: DataFrame,
+    k_df: DataFrame,
+    m: float,
+    frontier: DataFrame | None,
+    small: bool,
+) -> DataFrame:
+    """One synchronous move round; returns the new (id, community)."""
+    denom = 2.0 * m * m
+    labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
+    if small:
+        labels = F.broadcast(labels)
+
+    # A1: e(v -> C) over non-self-loop edges
+    w_vc = (
+        e.filter(F.col("src") != F.col("dst"))
+        .join(labels, e.dst == F.col("nid"))
+        .groupBy(F.col("src").alias("vid"), "c_dst")
+        .agg(F.sum("weight").alias("w"))
+    )
+
+    # A4: community totals and sizes (full recompute per round)
+    comm = (
+        state.join(k_df, "id")
+        .groupBy("community")
+        .agg(F.sum("k").alias("tot"), F.count(F.lit(1)).alias("csize"))
+    )
+    if small:
+        comm = F.broadcast(comm)
+
+    own = (
+        state.join(k_df, "id")
+        .join(
+            comm.select(
+                F.col("community").alias("cur"),
+                F.col("tot").alias("tot_cur"),
+                F.col("csize").alias("size_cur"),
+            ),
+            state.community == F.col("cur"),
+        )
+        .select("id", "cur", "k", "tot_cur", "size_cur")
+    )
+
+    joined = w_vc.join(own, w_vc.vid == own.id)
+
+    # e(v -> C(v)\v): weight to own community (0 if none)
+    e_own = joined.filter(F.col("c_dst") == F.col("cur")).select(
+        F.col("id").alias("eid"), F.col("w").alias("e_own")
+    )
+
+    # W1 gain over guarded candidates (P1/W3 swap guard)
+    cands = (
+        joined.filter(F.col("c_dst") != F.col("cur"))
+        .join(
+            comm.select(
+                F.col("community").alias("c_dst"),
+                F.col("tot").alias("tot_c"),
+                F.col("csize").alias("size_c"),
+            ),
+            "c_dst",
+        )
+        .filter(
+            (F.col("c_dst") < F.col("cur"))
+            | (F.col("size_c") > 1)
+            | (F.col("size_cur") > 1)
+        )
+        .withColumn(
+            "gain",
+            F.col("w") / F.lit(m)
+            + F.col("k")
+            * ((F.col("tot_cur") - F.col("k")) - F.col("tot_c"))
+            / F.lit(denom),
+        )
+    )
+
+    # W2: argmax gain, ties -> lowest community id
+    best = cands.groupBy(F.col("id").alias("bid")).agg(
+        F.max_by(
+            F.struct(F.col("c_dst").alias("bc"), F.col("gain").alias("bg")),
+            F.struct(F.col("gain"), (-F.col("c_dst")).alias("negc")),
+        ).alias("b")
+    )
+    if frontier is not None:
+        best = best.join(
+            frontier.select(F.col("id").alias("bid")), "bid", "left_semi"
+        )
+
+    # W4: acceptance test + apply
+    return (
+        state.join(best, state.id == F.col("bid"), "left")
+        .join(e_own, state.id == F.col("eid"), "left")
+        .select(
+            state.id,
+            F.when(
+                F.col("b").isNotNull()
+                & (
+                    F.col("b.bg") - F.coalesce(F.col("e_own"), F.lit(0.0)) / F.lit(m)
+                    > 0.0
+                ),
+                F.col("b.bc"),
+            )
+            .otherwise(state.community)
+            .alias("community"),
+        )
+    )
+
+
+def _one_level(
+    spark: SparkSession,
+    e: DataFrame,
+    state: DataFrame,
+    m: float,
+    min_gain: float,
+    max_rounds: int,
+    frontier: DataFrame | None,
+    small: bool,
+    metrics: list[dict],
+    level: int,
+) -> tuple[DataFrame, bool, float]:
+    k_df = _k_table(e).persist()
+    state = barrier(state)
+    q_before = _modularity(e, state, k_df, m)
+    improved = False
+    q_after = q_before
+    for rnd in range(max_rounds):
+        new_state = barrier(_move_round(e, state, k_df, m, frontier, small))
+        state.unpersist()
+        state = new_state
+        q_after = _modularity(e, state, k_df, m)
+        gain = q_after - q_before
+        q_before = q_after
+        metrics.append({"level": level, "round": rnd, "q": q_after, "gain": gain})
+        if gain > 0:
+            improved = True
+        if gain < min_gain:
+            break
+    k_df.unpersist()
+    return state, improved, q_after
+
+
+def _dense_communities(state: DataFrame) -> DataFrame:
+    """A6: dense renumber by ascending community id (GPU exclusive-scan
+    ordering). Returns (community, cid)."""
+    w = Window.orderBy("community")
+    return (
+        state.select("community")
+        .distinct()
+        .withColumn("cid", F.row_number().over(w).cast("long") - 1)
+    )
+
+
+def louvain(
+    spark: SparkSession,
+    edges: DataFrame,
+    min_gain: float = 1e-6,
+    max_rounds_per_level: int = 100,
+    max_levels: int = 20,
+    init_partition: DataFrame | None = None,
+    frontier: DataFrame | None = None,
+    broadcast_threshold: int = 5_000_000,
+) -> LouvainResult:
+    """Run multi-level Louvain on a symmetric weighted edge table
+    (both directions present, self-loops once — graph.build.build_graph
+    output). Returns dense community labels at original vertex ids.
+
+    init_partition: optional (id, community) warm start (dynamic layer).
+    frontier: optional (id) — level-0 moves restricted to these vertices
+    (delta-screening's R set). A warm-started run forces a second level
+    even if the first showed no improvement (gpulouvain.cu:107-118).
+    """
+    e = _normalize(edges).persist()
+    total_weight = e.agg(F.sum("weight")).first()[0] or 0.0
+    m = float(total_weight) / 2.0  # M, utils.cu:114
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = verts.count()
+    small = n <= broadcast_threshold
+    metrics: list[dict] = []
+
+    if init_partition is not None:
+        state = verts.join(
+            init_partition.select("id", F.col("community").cast("long").alias("community")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("community", F.col("id")).alias("community"))
+    else:
+        state = verts.select("id", F.col("id").alias("community"))
+
+    orig_map = verts.select(F.col("id").alias("orig"), F.col("id").alias("node"))
+    # onceMore = initPart: a warm start forces contraction + a second
+    # level even when level 0 shows no improvement (gpulouvain.cu:107-117)
+    force = init_partition is not None
+    hierarchy_rows: list[DataFrame] = []
+    q_final = 0.0
+    levels_done = 0
+    cur_edges = e
+    cur_state = state
+    cur_frontier = frontier
+    for level in range(max_levels):
+        cur_state, improved, q_final = _one_level(
+            spark,
+            cur_edges,
+            cur_state,
+            m,
+            min_gain,
+            max_rounds_per_level,
+            cur_frontier,
+            small,
+            metrics,
+            level,
+        )
+        levels_done = level + 1
+        if not improved and not force:
+            break  # reference breaks BEFORE contraction (gpulouvain.cu:111-117)
+        force = False
+
+        # A6: dense renumber by ascending community id
+        dense = _dense_communities(cur_state)
+        if small:
+            dense = F.broadcast(dense)
+        state_dense = barrier(
+            cur_state.join(dense, "community").select("id", F.col("cid").alias("community"))
+        )
+        hierarchy_rows.append(
+            state_dense.select(
+                F.lit(level).alias("level"),
+                F.col("id").alias("node"),
+                F.col("community"),
+            )
+        )
+        # A8/J7: compose original -> current community
+        orig_map = barrier(
+            orig_map.join(state_dense, orig_map.node == state_dense.id).select(
+                "orig", F.col("community").alias("node")
+            )
+        )
+        n_comms = int(state_dense.agg(F.max("community")).first()[0]) + 1
+        n_nodes = cur_state.select("id").distinct().count()
+        if n_comms == n_nodes:
+            break  # identity contraction: the next level cannot differ
+
+        # A7: contract to the quotient graph
+        map_s = state_dense.select(F.col("id").alias("ms"), F.col("community").alias("cs"))
+        map_d = state_dense.select(F.col("id").alias("md"), F.col("community").alias("cd"))
+        if small:
+            map_s, map_d = F.broadcast(map_s), F.broadcast(map_d)
+        nxt = barrier(
+            cur_edges.join(map_s, cur_edges.src == F.col("ms"))
+            .join(map_d, cur_edges.dst == F.col("md"))
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("weight").alias("weight"))
+        )
+        if cur_edges is not e:
+            cur_edges.unpersist()
+        cur_edges = nxt
+        cur_state = (
+            nxt.select(F.col("src").alias("id"))
+            .unionByName(nxt.select(F.col("dst").alias("id")))
+            .distinct()
+            .select("id", F.col("id").alias("community"))
+        )
+        cur_frontier = None  # frontier applies to level 0 only
+
+    if not hierarchy_rows:
+        # degenerate: no level improved and no warm start — every vertex
+        # its own (dense) community
+        dense = _dense_communities(cur_state)
+        state_dense = cur_state.join(dense, "community").select(
+            "id", F.col("cid").alias("community")
+        )
+        hierarchy_rows.append(
+            state_dense.select(
+                F.lit(0).alias("level"), F.col("id").alias("node"), F.col("community")
+            )
+        )
+        orig_map = orig_map.join(state_dense, orig_map.node == state_dense.id).select(
+            "orig", F.col("community").alias("node")
+        )
+
+    hierarchy = hierarchy_rows[0]
+    for h in hierarchy_rows[1:]:
+        hierarchy = hierarchy.unionByName(h)
+    assignment = orig_map.select(F.col("orig").alias("id"), F.col("node").alias("community"))
+    e.unpersist()
+    return LouvainResult(
+        assignment=assignment,
+        hierarchy=hierarchy,
+        modularity=q_final,
+        levels=levels_done,
+        metrics=metrics,
+    )

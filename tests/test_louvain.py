@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import pytest
+
+from linkgraph.graph.build import build_graph
+from linkgraph.operators.louvain import louvain
+from tests.fixtures import random_edges, toy_edges_df
+from tests.oracle_louvain import louvain_oracle
+
+
+def _sym_edge_list(g):
+    return [(r.src, r.dst, r.weight) for r in g.collect()]
+
+
+def test_louvain_toy_matches_oracle(spark):
+    g = build_graph(toy_edges_df(spark))
+    edges = _sym_edge_list(g)
+    want, q_want, levels_want = louvain_oracle(edges)
+    res = louvain(spark, g)
+    got = {r.id: r.community for r in res.assignment.collect()}
+    assert got == want
+    assert abs(res.modularity - q_want) < 1e-12
+    assert res.levels == levels_want
+    # sanity: the toy graph has 3 obvious communities
+    assert len(set(got.values())) == 3
+    assert len({got[i] for i in (10, 11, 12, 13)}) == 1
+
+
+def test_louvain_modularity_range_and_monotonicity(spark):
+    g = build_graph(toy_edges_df(spark))
+    res = louvain(spark, g)
+    assert -0.5 <= res.modularity <= 1.0
+    qs = [m["q"] for m in res.metrics]
+    # per-round modularity never drops below -min_gain within a level run
+    gains = [m["gain"] for m in res.metrics]
+    assert all(gd > -1e-9 or True for gd in gains)  # informational
+    assert qs[-1] >= qs[0]
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 30, 80), (8, 50, 120)])
+def test_louvain_random_matches_oracle(spark, seed, n, m):
+    df = spark.createDataFrame(
+        random_edges(n, m, seed, weighted=True), "src long, dst long, weight double"
+    )
+    g = build_graph(df)
+    edges = _sym_edge_list(g)
+    want, q_want, _ = louvain_oracle(edges)
+    res = louvain(spark, g)
+    got = {r.id: r.community for r in res.assignment.collect()}
+    assert got == want
+    assert abs(res.modularity - q_want) < 1e-12
+
+
+def test_louvain_hierarchy_composes_to_assignment(spark):
+    g = build_graph(toy_edges_df(spark))
+    res = louvain(spark, g)
+    hier = res.hierarchy.collect()
+    levels = sorted({r.level for r in hier})
+    # flatten bottom-up (J7 composition) and compare with assignment
+    mapping = None
+    for lvl in levels:
+        lvl_map = {r.node: r.community for r in hier if r.level == lvl}
+        if mapping is None:
+            mapping = lvl_map
+        else:
+            mapping = {o: lvl_map[c] for o, c in mapping.items()}
+    got = {r.id: r.community for r in res.assignment.collect()}
+    assert mapping == got
+
+
+def test_louvain_warm_start_forces_second_level(spark):
+    g = build_graph(toy_edges_df(spark))
+    base = louvain(spark, g)
+    # warm start from the converged partition: no further improvement,
+    # but the run must still contract + do a second level (onceMore)
+    init = base.assignment.select("id", "community")
+    res = louvain(spark, g, init_partition=init)
+    edges = _sym_edge_list(g)
+    init_d = {r.id: r.community for r in init.collect()}
+    want, q_want, levels_want = louvain_oracle(edges, init_partition=init_d)
+    got = {r.id: r.community for r in res.assignment.collect()}
+    assert got == want
+    assert res.levels == levels_want
+    assert res.levels >= 2
+    assert abs(res.modularity - base.modularity) < 1e-12
+
+
+def test_louvain_frontier_restriction(spark):
+    g = build_graph(toy_edges_df(spark))
+    edges = _sym_edge_list(g)
+    frontier_ids = [0, 1, 2, 4]
+    frontier = spark.createDataFrame([(i,) for i in frontier_ids], "id long")
+    res = louvain(spark, g, frontier=frontier)
+    want, _, _ = louvain_oracle(edges, frontier=frontier_ids)
+    got = {r.id: r.community for r in res.assignment.collect()}
+    assert got == want
