@@ -81,7 +81,8 @@ def _modularity(e: DataFrame, state: DataFrame, k_df: DataFrame, m: float) -> fl
         or 0.0
     )
     tot_sq = (
-        state.join(k_df, "id")
+        state.join(k_df, "id", "left")
+        .withColumn("k", F.coalesce("k", F.lit(0.0)))
         .groupBy("community")
         .agg(F.sum("k").alias("tot"))
         .agg(F.sum(F.col("tot") * F.col("tot")).alias("t"))
@@ -113,11 +114,15 @@ def _move_round(
         .agg(F.sum("weight").alias("w"))
     )
 
-    # A4: community totals and sizes (full recompute per round)
+    # A4: community totals and sizes (full recompute per round);
+    # left join so zero-degree (isolated) members still count in csize
     comm = (
-        state.join(k_df, "id")
+        state.join(k_df, "id", "left")
         .groupBy("community")
-        .agg(F.sum("k").alias("tot"), F.count(F.lit(1)).alias("csize"))
+        .agg(
+            F.sum(F.coalesce("k", F.lit(0.0))).alias("tot"),
+            F.count(F.lit(1)).alias("csize"),
+        )
     )
     if small:
         comm = F.broadcast(comm)
@@ -251,6 +256,7 @@ def louvain(
     max_levels: int = 20,
     init_partition: DataFrame | None = None,
     frontier: DataFrame | None = None,
+    vertices: DataFrame | None = None,
     broadcast_threshold: int = 5_000_000,
 ) -> LouvainResult:
     """Run multi-level Louvain on a symmetric weighted edge table
@@ -261,6 +267,9 @@ def louvain(
     frontier: optional (id) — level-0 moves restricted to these vertices
     (delta-screening's R set). A warm-started run forces a second level
     even if the first showed no improvement (gpulouvain.cu:107-118).
+    vertices: optional (id) — extra vertices to include even when
+    isolated (the reference's CSR keeps degree-0 nodes in n2c; edge
+    deletions can isolate nodes, which must keep a community).
     """
     e = _normalize(edges).persist()
     total_weight = e.agg(F.sum("weight")).first()[0] or 0.0
@@ -270,6 +279,8 @@ def louvain(
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
+    if vertices is not None:
+        verts = verts.unionByName(vertices.select(F.col("id").cast("long"))).distinct()
     n = verts.count()
     small = n <= broadcast_threshold
     metrics: list[dict] = []
@@ -350,11 +361,11 @@ def louvain(
         if cur_edges is not e:
             cur_edges.unpersist()
         cur_edges = nxt
-        cur_state = (
-            nxt.select(F.col("src").alias("id"))
-            .unionByName(nxt.select(F.col("dst").alias("id")))
-            .distinct()
-            .select("id", F.col("id").alias("community"))
+        # next-level vertex set = ALL communities (0..n_comms-1), so
+        # isolated communities survive the contraction (as in the
+        # reference, where the quotient CSR keeps every community id)
+        cur_state = dense.select(
+            F.col("cid").alias("id"), F.col("cid").alias("community")
         )
         cur_frontier = None  # frontier applies to level 0 only
 

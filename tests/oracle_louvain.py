@@ -85,12 +85,18 @@ def louvain_oracle(
     max_levels=20,
     init_partition=None,
     frontier=None,
+    nodes=None,
 ):
     """edges: symmetric directed-row list (both directions present,
-    self-loops once), weights float. Returns (assignment dict
-    orig->dense community, modularity, levels)."""
+    self-loops once), weights float. nodes: optional extra (possibly
+    isolated) vertex ids. Returns (assignment dict orig->dense
+    community, modularity, levels)."""
     m = sum(w for _, _, w in edges) / 2.0
-    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    nodes = sorted(
+        {u for u, _, _ in edges}
+        | {v for _, v, _ in edges}
+        | (set(nodes) if nodes is not None else set())
+    )
     state = {
         v: (init_partition.get(v, v) if init_partition else v) for v in nodes
     }
@@ -123,7 +129,8 @@ def louvain_oracle(
         for u, v, w in cur_edges:
             q_edges[(dense[u], dense[v])] += w
         cur_edges = [(a, b, w) for (a, b), w in q_edges.items()]
-        cur_nodes = sorted({a for a, _, _ in cur_edges} | {b for _, b, _ in cur_edges})
+        # next-level nodes = ALL community ids (isolated ones included)
+        cur_nodes = list(range(len(comms)))
         state = {v: v for v in cur_nodes}
         cur_frontier = None
     if not recorded:

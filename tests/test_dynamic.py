@@ -1,0 +1,139 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.graph.build import build_graph
+from linkgraph.streaming.deltas import (
+    apply_additions,
+    apply_deletions,
+    seed_new_nodes,
+)
+from linkgraph.streaming.incremental import run_incremental
+from linkgraph.streaming.screening import frontier_add, frontier_del
+from tests.fixtures import TOY_DELTAS, toy_deltas_df, toy_edges_df
+from tests.oracle_dynamic import (
+    apply_additions_o,
+    apply_deletions_o,
+    frontier_add_o,
+    frontier_del_o,
+    run_incremental_o,
+    seed_new_nodes_o,
+)
+from tests.oracle_louvain import louvain_oracle
+
+
+def _edges_dict(g):
+    return {(r.src, r.dst): r.weight for r in g.collect()}
+
+
+def _delta(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b), 1.0) for a, b in pairs], "src long, dst long, weight double"
+    )
+
+
+def test_apply_deltas_matches_oracle(spark):
+    g = build_graph(toy_edges_df(spark))
+    base = _edges_dict(g)
+    dels = [(0, 1, 1.0), (1, 2, 1.0)]
+    adds = [(3, 9, 1.0), (4, 6, 1.0), (14, 15, 1.0)]
+    after_del = apply_deletions(g, _delta(spark, [(a, b) for a, b, _ in dels]))
+    assert _edges_dict(after_del) == apply_deletions_o(base, dels)
+    after_add = apply_additions(after_del, _delta(spark, [(a, b) for a, b, _ in adds]))
+    assert _edges_dict(after_add) == apply_additions_o(
+        apply_deletions_o(base, dels), adds
+    )
+
+
+def test_incremental_vs_static_edge_equivalence(spark):
+    """After applying all deltas incrementally, the edge table equals a
+    static build of the final edge list (SURVEY.md §5.2.4)."""
+    g = build_graph(toy_edges_df(spark))
+    edges = g
+    final_pairs = {(a, b) for a, b in
+                   [(r.src, r.dst) for r in toy_edges_df(spark).collect()]}
+    for ts in (0, 1):
+        dels = [(a, b) for t, op, a, b in TOY_DELTAS if t == ts and op == "del"]
+        adds = [(a, b) for t, op, a, b in TOY_DELTAS if t == ts and op == "add"]
+        edges = apply_deletions(edges, _delta(spark, dels))
+        edges = apply_additions(edges, _delta(spark, adds))
+        final_pairs -= {(a, b) for a, b in dels}
+        final_pairs -= {(b, a) for a, b in dels}
+        final_pairs |= set(adds)
+    static = build_graph(_delta(spark, sorted(final_pairs)))
+    assert _edges_dict(edges) == _edges_dict(static)
+
+
+def test_seed_new_nodes(spark):
+    g = build_graph(toy_edges_df(spark))
+    base = _edges_dict(g)
+    state = {r.id: r.community
+             for r in spark.createDataFrame(
+                 [(i, c) for i, c in louvain_oracle(
+                     [(u, v, w) for (u, v), w in base.items()])[0].items()],
+                 "id long, community long").collect()}
+    adds = [(3, 9, 1.0), (4, 6, 1.0), (14, 15, 1.0)]
+    new_edges_d = apply_additions_o(base, adds)
+    want = seed_new_nodes_o(new_edges_d, state)
+
+    new_edges = apply_additions(g, _delta(spark, [(a, b) for a, b, _ in adds]))
+    st_df = spark.createDataFrame(list(state.items()), "id long, community long")
+    got = {r.id: r.community
+           for r in seed_new_nodes(spark, new_edges, st_df).collect()}
+    assert got == want
+    # 3 and 9 are new and only know each other -> two fresh singletons
+    assert got[3] != got[9]
+    assert got[3] not in state.values() and got[9] not in state.values()
+
+
+def test_frontiers_match_oracle(spark):
+    g = build_graph(toy_edges_df(spark))
+    base = _edges_dict(g)
+    assign, _, _ = louvain_oracle([(u, v, w) for (u, v), w in base.items()])
+    st_df = spark.createDataFrame(list(assign.items()), "id long, community long")
+
+    dels = [(0, 1, 1.0), (1, 2, 1.0)]
+    new_d = apply_deletions(g, _delta(spark, [(a, b) for a, b, _ in dels]))
+    r_del = {r.id for r in frontier_del(spark, new_d, st_df, _delta(
+        spark, [(a, b) for a, b, _ in dels])).collect()}
+    assert r_del == frontier_del_o(apply_deletions_o(base, dels), assign, dels)
+
+    adds = [(3, 9, 1.0), (4, 6, 1.0), (14, 15, 1.0)]
+    new_a_d = apply_additions_o(apply_deletions_o(base, dels), adds)
+    st2 = seed_new_nodes_o(new_a_d, assign)
+    new_a = apply_additions(new_d, _delta(spark, [(a, b) for a, b, _ in adds]))
+    st2_df = spark.createDataFrame(list(st2.items()), "id long, community long")
+    r_add = {r.id for r in frontier_add(spark, new_a, st2_df, _delta(
+        spark, [(a, b) for a, b, _ in adds])).collect()}
+    assert r_add == frontier_add_o(new_a_d, st2, adds)
+
+
+def test_incremental_run_matches_oracle_end_to_end(spark):
+    g = build_graph(toy_edges_df(spark))
+    base = _edges_dict(g)
+    run = run_incremental(spark, g, toy_deltas_df(spark))
+    want_state, want_edges, want_q, want_metrics = run_incremental_o(
+        base, TOY_DELTAS
+    )
+    got_state = {r.id: r.community for r in run.state.collect()}
+    assert got_state == want_state
+    assert _edges_dict(run.edges) == want_edges
+    assert abs(run.modularity - want_q) < 1e-12
+    got_m = [(m["ts"], m["phase"], m["r_size"]) for m in run.metrics]
+    want_m = [(m["ts"], m["phase"], m["r_size"]) for m in want_metrics]
+    assert got_m == want_m
+    # delta-screening win: R is a strict subset of vertices somewhere
+    fracs = [m["r_frac"] for m in run.metrics if m["phase"] != "static"]
+    assert any(f < 1.0 for f in fracs)
+
+
+def test_delta_screening_soundness_vs_full_reeval(spark):
+    """R-restricted re-eval reaches the same modularity (within eps) as
+    a full re-eval on the toy deltas (SURVEY.md §5.2.3)."""
+    from linkgraph.operators.louvain import louvain
+
+    g = build_graph(toy_edges_df(spark))
+    run = run_incremental(spark, g, toy_deltas_df(spark))
+    full = louvain(spark, run.edges)
+    assert abs(run.modularity - full.modularity) < 0.05
