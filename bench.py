@@ -1,0 +1,114 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec}, "sf": ..., "extra": {...}}
+
+Headline set = the four north-star graph queries over the sf-derived
+link graph, plus the pages->extraction->graph->PageRank spine
+(BASELINE.json primary metric: edges-processed/sec per superstep at
+PageRank 1e-6 convergence — reported in "extra").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from linkgraph.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(
+        "linkgraph-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    from linkgraph.operators.components import connected_components
+    from linkgraph.operators.lpa import label_propagation
+    from linkgraph.operators.pagerank import pagerank
+    from linkgraph.operators.triangles import triangle_count
+    from linkgraph.plans.superstep import SuperstepRunner
+    from linkgraph.sources.extract import pages_to_graph
+    from linkgraph.sources.pages import generate_pages
+    from linkgraph.sources.testdata import undirected_edges
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- graph build from the sf tables (S1-S3) ----------------------
+    edges = timed("graph_build", lambda: undirected_edges(spark, sf_dir).persist())
+    n_edges = edges.count()
+    extra["n_edges"] = n_edges
+
+    # -- PageRank to 1e-6 (the primary metric) -----------------------
+    runner = SuperstepRunner(spark, run_id="bench-pr", max_iter=100)
+    timed(
+        "pagerank_1e6",
+        lambda: pagerank(spark, edges, tol=1e-6, runner=runner).count(),
+    )
+    supersteps = len(runner.metrics)
+    extra["pagerank_supersteps"] = supersteps
+    if timings["pagerank_1e6"] > 0:
+        extra["edges_per_sec_per_superstep"] = round(
+            n_edges * supersteps / timings["pagerank_1e6"], 1
+        )
+
+    # -- remaining north-star queries ---------------------------------
+    timed("connected_components", lambda: connected_components(spark, edges).count())
+    lpa_runner = SuperstepRunner(spark, run_id="bench-lpa", max_iter=4)
+    timed("lpa_k4", lambda: label_propagation(spark, edges, runner=lpa_runner).count())
+    timed("triangle_count", lambda: triangle_count(spark, edges).collect())
+
+    # -- pages spine: generate -> extract -> graph -> PageRank -------
+    n_pages = max(2000, int(float(sf) * 200_000)) if sf.replace(".", "").isdigit() else 20000
+
+    def pages_spine():
+        pages = generate_pages(spark, n_pages, seed=42, partitions=cpus)
+        directed, und, _ = pages_to_graph(spark, pages)
+        directed = directed.persist()
+        m = directed.count()
+        extra["pages_n_edges"] = m
+        r = SuperstepRunner(spark, run_id="bench-pages-pr", max_iter=100)
+        pagerank(spark, directed, tol=1e-6, runner=r).count()
+        extra["pages_pagerank_supersteps"] = len(r.metrics)
+        directed.unpersist()
+
+    timed("pages_pipeline", pages_spine)
+    if timings["pages_pipeline"] > 0 and "pages_n_edges" in extra:
+        extra["pages_edges_per_sec_per_superstep"] = round(
+            extra["pages_n_edges"]
+            * extra["pages_pagerank_supersteps"]
+            / timings["pages_pipeline"],
+            1,
+        )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-queries wall time (graph build, PageRank@1e-6, CC, LPA, triangles, pages pipeline)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
