@@ -73,6 +73,119 @@ def _q_lpa_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(spark, undirected_edges(spark, sf_dir), runner=runner)
 
 
+def _q_louvain_move_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain move round from the singleton partition
+    (A1+W1+W2+W3+acceptance) — SQL-expressible, so it gets an exact
+    oracle; the full multi-level fixpoint is validated in tests/."""
+    from linkgraph.operators.louvain import _k_table, _move_round
+
+    edges = undirected_edges(spark, sf_dir)
+    m = float(edges.groupBy().sum("weight").first()[0]) / 2.0
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    state = verts.select("id", F.col("id").alias("community"))
+    k_df = _k_table(edges)
+    return _move_round(edges, state, k_df, m, None, True).select("id", "community")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.functions.text import char_count, token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        char_count(F.col("text")).cast("long").alias("n_chars_computed"),
+    )
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.functions.text import quality_features
+
+    return quality_features(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "mean_tok_len", "punct_ratio", "stop_ratio", "quality_score"
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.functions.text import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5, max_shingle_df=None
+    )
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates — not SQL-expressible (xxhash64),
+    rows-only check; validated against planted dups in tests/."""
+    from linkgraph.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — rows-only (xxhash64-based)."""
+    from linkgraph.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint — rows-only (xxhash64-based)."""
+    from linkgraph.functions.text import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.functions.similarity import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return knn_bruteforce(emb, queries, k=5)
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — rows-only (deterministic hyperplanes; recall
+    vs brute force asserted in tests/)."""
+    from linkgraph.functions.similarity import knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return knn_lsh(emb, queries, k=5, n_planes=6)
+
+
+def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour windowed aggregation over the events stream table
+    (the micro-batch analog of the streaming tier)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PageRank to 1e-6 convergence on the sf0.001
     link graph (BASELINE.json primary metric's query)."""
@@ -90,6 +203,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "connected_components": _q_connected_components,
         "lpa_k4": _q_lpa_k4,
+        "louvain_move_round1": _q_louvain_move_round1,
+        "doc_tokens": _q_doc_tokens,
+        "doc_quality": _q_doc_quality,
+        "lang_id": _q_lang_id,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash_pairs": _q_simhash,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "knn_cosine": _q_knn_cosine,
+        "knn_lsh": _q_knn_lsh,
+        "events_window_agg": _q_events_window_agg,
     }
 
 
@@ -179,6 +304,147 @@ def _lpa_sql(k: int) -> str:
     return body + f"SELECT id, label FROM l{k}"
 
 
+def _louvain_move_round1_sql() -> str:
+    """Singleton-partition move round: tot_c = k_c, sizes all 1 (so the
+    swap guard reduces to c < v), e_own = 0; same gain expression tree
+    as the Spark operator."""
+    return f"""WITH {EDGES_CTE},
+      k AS (SELECT src AS id, sum(weight) AS k FROM edges GROUP BY src),
+      mm AS (SELECT sum(weight)/2.0 AS m FROM edges),
+      w_vc AS (SELECT src AS vid, dst AS c, sum(weight) AS w
+               FROM edges WHERE src <> dst GROUP BY src, dst),
+      cand AS (
+        SELECT w.vid, w.c,
+               w.w / (SELECT m FROM mm)
+               + kv.k * ((kv.k - kv.k) - kc.k)
+                 / (2.0 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS gain
+        FROM w_vc w
+        JOIN k kv ON kv.id = w.vid
+        JOIN k kc ON kc.id = w.c
+        WHERE w.c < w.vid
+      ),
+      best AS (
+        SELECT vid, c, gain,
+               row_number() OVER (PARTITION BY vid ORDER BY gain DESC, c ASC) AS rn
+        FROM cand
+      )
+    SELECT v.id,
+           CAST(CASE WHEN b.gain - 0.0 / (SELECT m FROM mm) > 0 THEN b.c ELSE v.id END AS BIGINT) AS community
+    FROM (SELECT DISTINCT src AS id FROM edges) v
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.vid = v.id"""
+
+
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '[^a-zA-Z0-9]+'), x -> x <> '')"
+_TOKS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '[^a-zA-Z0-9]+'), x -> x <> '')"
+
+
+def _occ(hay: str, needle: str) -> str:
+    return f"(length({hay}) - length(replace({hay}, '{needle}', ''))) / {len(needle)}"
+
+
+def _doc_quality_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    stop = " + ".join(
+        _occ(padded, m)
+        for ms in [[" the ", " and ", " of "], [" der ", " und ", " die "], [" le ", " et ", " les "]]
+        for m in ms
+    )
+    punct = f"({_occ('text', '.')} + {_occ('text', ',')})"
+    return f"""WITH f AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({_TOKS}) AS n_tokens,
+             {punct} AS n_punct,
+             ({stop}) AS n_stop
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_tok_len,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio
+      FROM f
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(mean_tok_len, 6) AS mean_tok_len,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(stop_ratio, 6) AS stop_ratio,
+           ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + least(stop_ratio * 10.0, 1.0) * 0.3
+                 + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0 THEN 0.3 ELSE 0.0 END,
+                 6) AS quality_score
+    FROM g"""
+
+
+def _lang_id_sql() -> str:
+    padded = "(' ' || lower(text) || ' ')"
+    s = {
+        "en": " + ".join(_occ(padded, m) for m in [" the ", " and ", " of "]),
+        "de": " + ".join(_occ(padded, m) for m in [" der ", " und ", " die "]),
+        "fr": " + ".join(_occ(padded, m) for m in [" le ", " et ", " les "]),
+    }
+    # fold in ascending language-code order (de, en, fr): ties keep the
+    # earlier code — mirrors linkgraph.functions.text.language_id
+    return f"""WITH s AS (
+      SELECT doc_id, ({s["en"]}) AS s_en, ({s["de"]}) AS s_de, ({s["fr"]}) AS s_fr
+      FROM documents
+    ), fold AS (
+      SELECT doc_id, s_en, s_de, s_fr,
+             CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS s2,
+             CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS l2
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN (CASE WHEN s_fr > s2 THEN s_fr ELSE s2 END) > 0
+                THEN (CASE WHEN s_fr > s2 THEN 'fr' ELSE l2 END)
+                ELSE 'und' END AS pred_lang
+    FROM fold"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return f"""WITH toks AS (
+      SELECT doc_id, {_TOKS_LOWER} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+2], ' '))
+             ELSE [] END)) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), inters AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+      FROM sh x JOIN sh y USING (shingle)
+      WHERE x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inters
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5"""
+
+
+def _knn_cosine_sql() -> str:
+    return """WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qe, v.e), 6) AS sim
+      FROM v CROSS JOIN q
+      WHERE v.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": f"WITH {EDGES_CTE} SELECT src, dst, weight FROM edges",
@@ -197,4 +463,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN canon e3 ON e1.src = e3.src AND e2.dst = e3.dst""",
         "connected_components": _cc_sql(8),
         "lpa_k4": _lpa_sql(4),
+        "louvain_move_round1": _louvain_move_round1_sql(),
+        "doc_tokens": f"""SELECT doc_id,
+              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+              CAST(length(text) AS BIGINT) AS n_chars_computed
+            FROM documents""",
+        "doc_quality": _doc_quality_sql(),
+        "lang_id": _lang_id_sql(),
+        "exact_dedup": """WITH h AS (SELECT doc_id, md5(text) AS digest FROM documents),
+            c AS (SELECT digest, min(doc_id) AS canonical_id FROM h GROUP BY digest)
+            SELECT h.doc_id, c.canonical_id FROM h JOIN c USING (digest)""",
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "knn_cosine": _knn_cosine_sql(),
+        "events_window_agg": """SELECT date_trunc('hour', ts) AS hour, event_type,
+              count(*) AS n, ROUND(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        # minhash_lsh / simhash_pairs / doc_fingerprint / knn_lsh:
+        # xxhash64 / hyperplane based -> no DuckDB equivalent; the driver
+        # records rows-only checks and pytest covers semantics.
     }

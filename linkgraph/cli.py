@@ -1,0 +1,117 @@
+"""spark-submit entry point (north rule: "ships as a spark-submit
+--py-files job").
+
+Usage (cluster):
+    zip -r linkgraph.zip linkgraph
+    spark-submit --py-files linkgraph.zip linkgraph/cli.py \
+        pagerank --edges s3://bucket/edges/ --output s3://bucket/pr/ --tol 1e-6
+
+Local smoke:
+    python linkgraph/cli.py pagerank --edges /tmp/edges --output /tmp/pr
+
+Commands: ingest-pages, pagerank, cc, lpa, louvain, triangles,
+incremental. Every command reads/writes parquet; ``--checkpoint-dir``
+enables mid-run resumability (durable superstep checkpoints).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="linkgraph")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--edges", help="parquet path of (src,dst,weight)")
+        sp.add_argument("--output", required=True)
+        sp.add_argument("--checkpoint-dir")
+        sp.add_argument("--shuffle-partitions", type=int, default=None)
+
+    sp = sub.add_parser("ingest-pages", help="pages parquet -> edges + dictionary")
+    sp.add_argument("--pages", required=True)
+    sp.add_argument("--output", required=True)
+
+    for name in ("pagerank", "cc", "lpa", "louvain", "triangles"):
+        sp = sub.add_parser(name)
+        common(sp)
+        if name == "pagerank":
+            sp.add_argument("--tol", type=float, default=1e-6)
+            sp.add_argument("--damping", type=float, default=0.85)
+            sp.add_argument("--max-iter", type=int, default=100)
+        if name == "lpa":
+            sp.add_argument("--max-iter", type=int, default=20)
+        if name == "louvain":
+            sp.add_argument("--min-gain", type=float, default=1e-6)
+
+    sp = sub.add_parser("incremental", help="per-timestep delta loop")
+    common(sp)
+    sp.add_argument("--deltas", required=True, help="parquet (ts,op,src,dst,weight)")
+
+    args = p.parse_args(argv)
+
+    from linkgraph.session import get_spark
+
+    spark = get_spark(f"linkgraph-{args.cmd}", shuffle_partitions=getattr(args, "shuffle_partitions", None))
+
+    if args.cmd == "ingest-pages":
+        from linkgraph.sources.extract import pages_to_graph
+
+        pages = spark.read.parquet(args.pages)
+        directed, undirected, dictionary = pages_to_graph(spark, pages)
+        directed.write.mode("overwrite").parquet(f"{args.output}/edges_directed")
+        undirected.write.mode("overwrite").parquet(f"{args.output}/edges")
+        dictionary.write.mode("overwrite").parquet(f"{args.output}/url_dict")
+        return 0
+
+    edges = spark.read.parquet(args.edges)
+
+    if args.cmd == "pagerank":
+        from linkgraph.operators.pagerank import pagerank
+        from linkgraph.plans.superstep import SuperstepRunner
+
+        runner = SuperstepRunner(
+            spark, run_id="pagerank", checkpoint_dir=args.checkpoint_dir, max_iter=args.max_iter
+        )
+        out = pagerank(spark, edges, damping=args.damping, tol=args.tol, runner=runner)
+        out.write.mode("overwrite").parquet(args.output)
+        if args.checkpoint_dir:
+            runner.write_metrics(f"{args.checkpoint_dir}/metrics")
+        print(json.dumps({"supersteps": len(runner.metrics)}))
+    elif args.cmd == "cc":
+        from linkgraph.operators.components import connected_components
+
+        connected_components(spark, edges).write.mode("overwrite").parquet(args.output)
+    elif args.cmd == "lpa":
+        from linkgraph.operators.lpa import label_propagation
+
+        label_propagation(spark, edges, max_iter=args.max_iter).write.mode(
+            "overwrite"
+        ).parquet(args.output)
+    elif args.cmd == "louvain":
+        from linkgraph.operators.louvain import louvain
+
+        res = louvain(spark, edges, min_gain=args.min_gain)
+        res.assignment.write.mode("overwrite").parquet(f"{args.output}/assignment")
+        res.hierarchy.write.mode("overwrite").parquet(f"{args.output}/hierarchy")
+        print(json.dumps({"modularity": res.modularity, "levels": res.levels}))
+    elif args.cmd == "triangles":
+        from linkgraph.operators.triangles import triangle_count
+
+        triangle_count(spark, edges).write.mode("overwrite").parquet(args.output)
+    elif args.cmd == "incremental":
+        from linkgraph.streaming.incremental import run_incremental
+
+        deltas = spark.read.parquet(args.deltas)
+        run = run_incremental(spark, edges, deltas, checkpoint_dir=args.checkpoint_dir)
+        run.state.write.mode("overwrite").parquet(f"{args.output}/state")
+        run.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
+        print(json.dumps({"modularity": run.modularity, "metrics": run.metrics}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

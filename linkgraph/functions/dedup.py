@@ -1,0 +1,213 @@
+"""Deduplication operators over a documents table (task brief:
+exact, MinHash+LSH, SimHash, n-gram Jaccard). Everything is built
+from pyspark.sql functions — shingling, hashing (xxhash64), band
+bucketing and the candidate joins are all JVM-side; no Python UDFs.
+
+Scale notes:
+* exact dedup = one hash-groupBy (min doc per digest);
+* n-gram Jaccard = shingle explode -> self-join on shingle ->
+  per-pair intersection count (classic inverted-index join). Hot
+  shingles ( = stop-phrases) are the skew risk: ``max_shingle_df``
+  drops shingles whose document frequency exceeds the cap, exactly
+  like dropping stopwords from an inverted index;
+* MinHash-LSH = signature via per-seed min of xxhash64(shingle, seed),
+  banded into buckets, candidates = same-bucket pairs, verified with
+  exact Jaccard on signatures (and optionally true shingle Jaccard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linkgraph.functions.text import TOKEN_SPLIT_RE
+
+
+def _tokens(col: Column) -> Column:
+    return F.filter(F.split(F.trim(F.lower(col)), TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram strings of the text column."""
+    toks = _tokens(col)
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array())
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 of the text: returns
+    (doc_id, canonical_id) where canonical = min doc_id of the group."""
+    h = df.select("doc_id", F.md5(F.col(text_col)).alias("digest"))
+    canon = h.groupBy("digest").agg(F.min("doc_id").alias("canonical_id"))
+    return h.join(canon, "digest").select("doc_id", "canonical_id")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with exact n-gram Jaccard >=
+    threshold. Returns (a, b, jaccard)."""
+    sh = df.select(
+        F.col("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_cnt")).filter(
+            F.col("df_cnt") > max_shingle_df
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Returns (doc_id, sig array<long>)."""
+    sh = shingles(F.col(text_col), n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return df.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: band the signature, bucket-join
+    on (band index, band hash), then keep pairs whose signature-level
+    Jaccard estimate (fraction of agreeing hashes) >= threshold.
+    Returns (a, b, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, n, num_hashes).persist()
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    est = (
+        cand.join(sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a")), "a")
+        .join(sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b")), "b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                    lambda v: v,
+                )
+            ).cast("double")
+            / F.lit(num_hashes),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("a", "b", "est_jaccard")
+    )
+    return est
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash over tokens: bit j of the fingerprint is the sign
+    of sum over tokens of (+1 if bit j of xxhash64(token) else -1).
+    Returns (doc_id, simhash long)."""
+    toks = _tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _vote_fn(bit: int):
+        # closure factory: pyspark HOF lambdas must take exactly the
+        # declared arity (extra default params break arity inspection)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for j in range(bits):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(j))
+        bit_cols.append(
+            F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            * F.lit(2 ** j).cast("long")
+            if j < 63
+            else F.when(votes > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    fp = sum(bit_cols[1:], bit_cols[0])
+    return df.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the high prefix_bits (cheap LSH
+    for small hamming radii), verify hamming distance <= max_hamming.
+    Returns (a, b, hamming)."""
+    fps = simhash(df, text_col)
+    block = fps.withColumn(
+        "blk", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    )
+    x = block.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "blk")
+    y = block.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "blk")
+    return (
+        x.join(y, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

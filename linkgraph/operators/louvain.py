@@ -40,7 +40,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from linkgraph.plans.superstep import barrier
+from linkgraph.plans.superstep import barrier, release
 
 
 @dataclass
@@ -223,7 +223,7 @@ def _one_level(
     q_after = q_before
     for rnd in range(max_rounds):
         new_state = barrier(_move_round(e, state, k_df, m, frontier, small))
-        state.unpersist()
+        release(state)
         state = new_state
         q_after = _modularity(e, state, k_df, m)
         gain = q_after - q_before

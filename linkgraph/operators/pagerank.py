@@ -5,21 +5,26 @@ superstep, convergence at per-vertex delta < 1e-6). Reuses the
 reference's superstep skeleton (SURVEY.md §2.K): J2 state-gather join,
 A2 degree normalization, X6 scalar-driven convergence loop.
 
-Scale design:
-* ``edges_norm`` (edge weight / source out-weight) is computed ONCE
-  and cached/persisted — the per-iteration work is a single join +
-  single aggregation, nothing else touches the edge table.
-* the state⋈edges join broadcasts the state when the vertex count is
-  under ``broadcast_threshold`` (local + small graphs), otherwise it
-  shuffle-joins on src against the src-bucketed adjacency layout so
-  the big side does not re-shuffle each superstep.
+Scale design — ONE exchange per superstep on the big path:
+* ``edges_norm`` (edge weight / source out-weight) is computed ONCE,
+  hash-partitioned on src and persisted (the CSR-style layout, K1).
+* the state is kept hash-partitioned on id with the SAME partition
+  count; ``barrier`` (localCheckpoint) preserves partitioning, so the
+  edges⋈state join needs NO exchange on either side (shuffle-hash
+  join, state partition as build side).
+* the only per-superstep shuffle is the contribs groupBy(dst) — the
+  inherent scatter of PageRank; its output is hash-partitioned on dst,
+  which satisfies the state-update join's distribution, so that join
+  is also exchange-free.
+* below ``broadcast_threshold`` vertices the state is broadcast
+  instead (small graphs / harness runs) — note a broadcast build is
+  driver-serial, so the threshold is deliberately modest.
 * hub skew on the dst-side aggregation is absorbed by map-side
-  partial aggregation (sum is associative) + AQE; an explicit
-  salted two-level aggregation is available for extreme in-degree
-  skew (salt_hubs=True).
-* one Spark action per superstep: delta, dangling mass for the NEXT
-  step, and (optionally) nothing else are computed in a single agg
-  over the new state.
+  partial aggregation (sum is associative) + AQE; an explicit salted
+  two-level aggregation is available for extreme in-degree skew
+  (salt_hubs=True).
+* one scalar action per superstep: per-vertex delta + next step's
+  dangling mass in a single agg over the materialized new state.
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ def pagerank(
     damping: float = 0.85,
     tol: float = 1e-6,
     max_iter: int = 100,
-    broadcast_threshold: int = 5_000_000,
+    broadcast_threshold: int = 1_000_000,
     salt_hubs: bool = False,
     n_salts: int = 8,
     checkpoint_dir: str | None = None,
@@ -60,11 +65,14 @@ def pagerank(
         .distinct()
     )
 
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    # normalized transition weights — computed once, reused every superstep
+    # normalized transition weights — computed once, hash-partitioned on
+    # src (CSR-style layout), reused by every superstep with no exchange
     edges_norm = (
         edges.join(out_w, "src")
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .repartition(n_part, "src")
         .persist()
     )
     n = verts.count()  # also materializes verts
@@ -74,7 +82,9 @@ def pagerank(
     dangling_flag = verts.join(out_w, verts.id == out_w.src, "left").select(
         "id", F.col("out_w").isNull().alias("is_dangling")
     )
-    state = dangling_flag.withColumn("score", F.lit(1.0 / n))
+    # state partitioned on id to match edges_norm's src-partitioning;
+    # barrier preserves it across supersteps
+    state = dangling_flag.withColumn("score", F.lit(1.0 / n)).repartition(n_part, "id")
 
     small = n <= broadcast_threshold
     # dangling mass is carried across supersteps by `converge`; None
@@ -91,8 +101,10 @@ def pagerank(
                 or 0.0
             )
         scores = st.select("id", "score")
-        if small:
-            scores = F.broadcast(scores)
+        # broadcast below threshold (driver-serial build: small graphs
+        # only); above it, shuffle-hash with the id-partitioned state as
+        # build side — zero exchange since both sides are pre-partitioned
+        scores = F.broadcast(scores) if small else scores.hint("shuffle_hash")
         contribs = edges_norm.join(scores, edges_norm.src == scores.id).select(
             F.col("dst"), (F.col("score") * F.col("p")).alias("contrib")
         )
@@ -113,6 +125,10 @@ def pagerank(
             incoming = contribs.groupBy("dst").agg(F.sum("contrib").alias("incoming"))
 
         base = (1.0 - damping) / n + damping * ctx["dangling"] / n
+        if not small:
+            # incoming is hash-partitioned on dst by the agg; with the
+            # state partitioned on id this join is exchange-free too
+            incoming = incoming.hint("shuffle_hash")
         return st.join(incoming, st.id == incoming.dst, "left").select(
             st.id,
             st.is_dangling,

@@ -1,1 +1,1 @@
-from linkgraph.plans.superstep import SuperstepRunner, barrier  # noqa: F401
+from linkgraph.plans.superstep import SuperstepRunner, barrier, release  # noqa: F401

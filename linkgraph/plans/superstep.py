@@ -38,9 +38,52 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# localCheckpoint leaks its backing RDD in the context's persistent-RDD
+# registry (DataFrame.unpersist does NOT free it) — over hundreds of
+# supersteps that is an executor-memory leak causing GC spikes. barrier()
+# records the RDD ids each checkpoint creates; release() frees them when
+# the state is superseded.
+_BARRIER_RDDS: dict[int, list] = {}
+
+
+def _persistent_entries(spark) -> dict[int, object]:
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    out = {}
+    it = jmap.iterator()
+    while it.hasNext():
+        kv = it.next()
+        out[kv._1()] = kv._2()
+    return out
+
+
 def barrier(df: DataFrame) -> DataFrame:
-    """Materialize + truncate lineage (eager executor-local checkpoint)."""
-    return df.localCheckpoint(eager=True)
+    """Materialize + truncate lineage (eager executor-local checkpoint).
+
+    Preserves the frame's physical partitioning (LogicalRDD keeps
+    outputPartitioning), so a state kept hash-partitioned on its join
+    key crosses barriers without re-exchanging.
+    """
+    spark = df.sparkSession
+    before = set(_persistent_entries(spark))
+    out = df.localCheckpoint(eager=True)
+    created = [
+        jrdd for rid, jrdd in _persistent_entries(spark).items() if rid not in before
+    ]
+    _BARRIER_RDDS[id(out)] = created
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Free the executor blocks of a superseded barriered state."""
+    for jrdd in _BARRIER_RDDS.pop(id(df), []):
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
+    try:
+        df.unpersist()
+    except Exception:
+        pass
 
 
 @dataclass
@@ -107,7 +150,7 @@ class SuperstepRunner:
             t0 = time.perf_counter()
             new_state = barrier(step(state, i))
             converged, delta = converge(state, new_state, i)
-            state.unpersist()
+            release(state)
             state = new_state
             dt = time.perf_counter() - t0
             self.metrics.append(

@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+import json
+
+from linkgraph.cli import main
+from linkgraph.graph.build import build_graph
+from tests.fixtures import toy_edges_df
+from tests.oracles import pagerank_oracle
+
+
+def test_cli_pagerank_roundtrip(spark, tmp_path, capsys):
+    g = build_graph(toy_edges_df(spark))
+    edges_path = str(tmp_path / "edges")
+    out_path = str(tmp_path / "pr")
+    g.write.parquet(edges_path)
+
+    rc = main(
+        [
+            "pagerank",
+            "--edges",
+            edges_path,
+            "--output",
+            out_path,
+            "--tol",
+            "1e-9",
+            "--checkpoint-dir",
+            str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["supersteps"] > 1
+
+    got = {r.id: r.score for r in spark.read.parquet(out_path).collect()}
+    want = pagerank_oracle(
+        [(r.src, r.dst, r.weight) for r in g.collect()], tol=1e-9
+    )
+    assert all(abs(got[k] - want[k]) < 1e-6 for k in want)
+    # metrics table written
+    m = spark.read.parquet(str(tmp_path / "ckpt" / "metrics"))
+    assert m.count() == meta["supersteps"]
+
+
+def test_cli_louvain(spark, tmp_path, capsys):
+    g = build_graph(toy_edges_df(spark))
+    edges_path = str(tmp_path / "edges2")
+    g.write.parquet(edges_path)
+    rc = main(["louvain", "--edges", edges_path, "--output", str(tmp_path / "lv")])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["levels"] >= 1 and 0 < meta["modularity"] <= 1
+    assert spark.read.parquet(str(tmp_path / "lv" / "assignment")).count() == 12

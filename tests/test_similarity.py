@@ -1,0 +1,68 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.functions.similarity import (
+    embedding_near_dup_pairs,
+    knn_bruteforce,
+    knn_lsh,
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    # planted near-dup of 0: collinear (guaranteed same LSH signs)
+    base[1] = base[0] * 1.001
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _numpy_topk(vecs, qids, k):
+    arr = {i: np.array(v) for i, v in vecs}
+    out = {}
+    for q in qids:
+        sims = []
+        for i, v in arr.items():
+            if i == q:
+                continue
+            s = float(arr[q] @ v / (np.linalg.norm(arr[q]) * np.linalg.norm(v)))
+            sims.append((round(s, 6), -i))
+        sims.sort(reverse=True)
+        out[q] = [(round(s, 6), -ni) for s, ni in sims[:k]]
+    return out
+
+
+def test_knn_bruteforce_matches_numpy(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    got = knn_bruteforce(vectors, queries, k=3).collect()
+    vecs = [(r.vec_id, r.embedding) for r in vectors.collect()]
+    want = _numpy_topk(vecs, range(5), 3)
+    for r in got:
+        w_sim, w_id = want[r.query_id][r.rank - 1]
+        assert r.neighbor_id == w_id
+        assert abs(r.sim - w_sim) < 2e-6
+
+
+def test_knn_lsh_recall_on_planted_dup(spark, vectors):
+    queries = vectors.filter(F.col("vec_id") == 0)
+    got = knn_lsh(vectors, queries, k=3, n_planes=6)
+    top = got.filter(F.col("rank") == 1).first()
+    assert top is not None and top.neighbor_id == 1  # near-identical vector shares every LSH bucket
+
+
+def test_embedding_near_dup_pairs(spark, vectors):
+    pairs = {(r.a, r.b): r.sim for r in
+             embedding_near_dup_pairs(vectors, threshold=0.99, n_planes=6).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+
+
+def test_knn_on_sf_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = knn_bruteforce(emb, queries, k=5)
+    cnt = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in cnt)

@@ -1,0 +1,96 @@
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from linkgraph.functions.text import fingerprint, language_id, quality_features, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The cat sat on the mat and the dog ran off.", "en"),
+        (1, "The cat sat on the mat and the dog ran off.", "en"),  # exact dup of 0
+        (2, "The cat sat on the mat and the dog ran away fast.", "en"),  # near dup
+        (3, "Der Hund und die Katze spielen in der Sonne und der Wind.", "de"),
+        (4, "Le chat et le chien jouent dans le jardin et les arbres.", "fr"),
+        (5, "completely different text about spark engines and graphs.", "en"),
+        (6, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_count(spark, docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+    want = {r: len([t for t in re.split(r"[^a-zA-Z0-9]+", txt.strip()) if t])
+            for r, txt, _ in docs.collect()}
+    assert got == want
+    assert got[6] == 0
+
+
+def test_quality_features(spark, docs):
+    out = {r.doc_id: r for r in quality_features(docs).collect()}
+    assert out[6].n_tokens == 0 and out[6].quality_score == 0.0
+    assert out[0].quality_score > out[6].quality_score
+    assert 0.0 <= out[0].quality_score <= 1.0
+    assert out[0].stop_ratio > out[5].stop_ratio  # 'the' rich text
+
+
+def test_language_id(spark, docs):
+    got = {r.doc_id: r.pred_lang for r in language_id(docs).collect()}
+    assert got[0] == "en" and got[3] == "de" and got[4] == "fr"
+    assert got[6] == "und"
+
+
+def test_fingerprint_whitespace_robust(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world foo"), (1, "  hello   world\tfoo "), (2, "hello world bar")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[2]
+
+
+def test_exact_dedup(spark, docs):
+    got = {r.doc_id: r.canonical_id for r in exact_dedup(docs).collect()}
+    assert got[1] == 0 and got[0] == 0
+    assert got[2] == 2
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in
+             ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup above 0.5
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = {(r.a, r.b) for r in
+             minhash_lsh_pairs(docs, threshold=0.9, n=3).collect()}
+    assert (0, 1) in pairs  # exact dup must collide in every band
+    assert (0, 5) not in pairs and (0, 3) not in pairs
+
+
+def test_simhash_pairs(spark, docs):
+    pairs = {(r.a, r.b): r.hamming for r in
+             simhash_pairs(docs, max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
+    assert (0, 5) not in pairs
+
+
+def test_dedup_on_sf_documents(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = exact_dedup(docs)
+    assert out.count() == docs.count()
+    groups = out.groupBy("canonical_id").count()
+    assert groups.count() <= docs.count()
