@@ -104,7 +104,11 @@ class SuperstepRunner:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 10
     max_iter: int = 200
+    # per-partition lineage (north_rule): record (partition_id, rows)
+    # of the state at every durable checkpoint
+    partition_lineage: bool = False
     metrics: list[dict] = field(default_factory=list)
+    lineage: list[dict] = field(default_factory=list)
 
     # ---- durable checkpoint plumbing -------------------------------
     def _ckpt_path(self, superstep: int) -> str:
@@ -119,6 +123,23 @@ class SuperstepRunner:
         manifest = {"run_id": self.run_id, "superstep": superstep, "path": path}
         with open(self._manifest_path(), "w") as f:
             json.dump(manifest, f)
+        if self.partition_lineage:
+            from pyspark.sql import functions as F
+
+            rows = (
+                state.groupBy(F.spark_partition_id().alias("partition_id"))
+                .count()
+                .collect()
+            )
+            for r in rows:
+                self.lineage.append(
+                    {
+                        "run_id": self.run_id,
+                        "superstep": superstep,
+                        "partition_id": int(r["partition_id"]),
+                        "rows": int(r["count"]),
+                    }
+                )
 
     def load_checkpoint(self) -> tuple[DataFrame, int] | None:
         """Resume point: (state, last_completed_superstep) or None."""
@@ -169,6 +190,19 @@ class SuperstepRunner:
             if converged:
                 break
         return state
+
+    def write_lineage(self, path: str) -> None:
+        """Persist per-partition lineage rows (north_rule F6 schema)."""
+        if not self.lineage:
+            return
+        df = self.spark.createDataFrame(
+            [
+                (r["run_id"], int(r["superstep"]), int(r["partition_id"]), int(r["rows"]))
+                for r in self.lineage
+            ],
+            schema="run_id string, superstep int, partition_id int, rows long",
+        )
+        df.write.mode("append").parquet(path)
 
     def write_metrics(self, path: str) -> None:
         """Persist the metrics log (reference timer-tree analog)."""
