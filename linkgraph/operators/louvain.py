@@ -217,12 +217,12 @@ def _one_level(
     level: int,
 ) -> tuple[DataFrame, bool, float]:
     k_df = _k_table(e).persist()
-    state = barrier(state)
+    state = barrier(state, reset_stats=True)
     q_before = _modularity(e, state, k_df, m)
     improved = False
     q_after = q_before
     for rnd in range(max_rounds):
-        new_state = barrier(_move_round(e, state, k_df, m, frontier, small))
+        new_state = barrier(_move_round(e, state, k_df, m, frontier, small), reset_stats=True)
         release(state)
         state = new_state
         q_after = _modularity(e, state, k_df, m)

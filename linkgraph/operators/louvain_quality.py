@@ -1,0 +1,312 @@
+"""Generalized Louvain: the same multi-level synchronous-round engine
+driven by ANY of the reference's 10 quality functions (SURVEY.md §2.I,
+-q id in the reference CLI — factory at src/main_louvain.cpp:998-1059).
+
+Differences from operators.louvain (the GPU-exact default, id 0):
+* gain = the CPU comparison formula of the selected metric
+  (functions/quality.py, transcribed from the reference headers) with
+  the CPU's remove-then-evaluate semantics: the node's own community
+  is evaluated with the node removed (tot/w_c/in adjusted), and a move
+  happens only if best-candidate gain > max(own gain, 0) — mirroring
+  the CPU loop's best_increase init (src/louvain.cpp:413-428).
+* convergence = moves count per synchronous round (the scalar the
+  reference's pass loop uses, src/louvain.cpp:458-460); modularity is
+  still reported for observability.
+* node weights (nodes_w, src/graph_binary.h:67) are tracked across
+  contractions — several metrics (Zahn/OwZad/Goldberg/DevInd/DevUni/
+  DP/BalMod) depend on them.
+* the W3 swap guard is kept: synchronous rounds need it regardless of
+  metric (documented divergence from the sequential CPU loop).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linkgraph.functions.quality import GAIN_FUNCTIONS, QualityInputs
+from linkgraph.operators.louvain import _dense_communities, _k_table
+from linkgraph.plans.superstep import barrier, release
+
+
+@dataclass
+class GeneralizedLouvainResult:
+    assignment: DataFrame
+    levels: int
+    quality_id: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _gain(qid: int, q: QualityInputs, params: dict) -> F.Column:
+    name, fn = GAIN_FUNCTIONS[qid]
+    if qid == 2:
+        return fn(q, alpha=params.get("alpha", 0.5))
+    if qid == 8:
+        return fn(q, kappa=params.get("kappa", 1.0), kappa_min=params.get("kappa_min", 0.0))
+    return fn(q)
+
+
+def _move_round_q(
+    e: DataFrame,
+    state: DataFrame,
+    node_w: DataFrame,
+    qid: int,
+    params: dict,
+    m2: float,
+    n: float,
+    max_w: float,
+    small: bool,
+) -> DataFrame:
+    k_df = _k_table(e)
+    self_df = (
+        e.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("self_w"))
+    )
+    labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
+    st_s = state.select(F.col("id").alias("sid"), F.col("community").alias("cs"))
+    st_d = state.select(F.col("id").alias("did"), F.col("community").alias("cd"))
+    if small:
+        labels, st_s, st_d = F.broadcast(labels), F.broadcast(st_s), F.broadcast(st_d)
+
+    # community aggregates: tot, size, node weight, internal weight
+    per_node = (
+        state.join(k_df, "id", "left")
+        .join(node_w, "id", "left")
+        .select(
+            "id",
+            "community",
+            F.coalesce("k", F.lit(0.0)).alias("k"),
+            F.coalesce("w_u", F.lit(1.0)).alias("w_u"),
+        )
+    )
+    comm = per_node.groupBy("community").agg(
+        F.sum("k").alias("tot"),
+        F.sum("w_u").alias("w_c"),
+        F.count(F.lit(1)).alias("csize"),
+    )
+    in_c = (
+        e.join(st_s, e.src == F.col("sid"))
+        .join(st_d, e.dst == F.col("did"))
+        .filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.sum("weight").alias("in_c"))
+    )
+    comm = comm.join(in_c, "community", "left").withColumn(
+        "in_c", F.coalesce("in_c", F.lit(0.0))
+    )
+    if small:
+        comm = F.broadcast(comm)
+
+    w_vc = (
+        e.filter(F.col("src") != F.col("dst"))
+        .join(labels, e.dst == F.col("nid"))
+        .groupBy(F.col("src").alias("vid"), "c_dst")
+        .agg(F.sum("weight").alias("w"))
+    )
+    own = (
+        per_node.withColumnRenamed("id", "vid")
+        .withColumnRenamed("community", "cur")
+        .join(self_df.withColumnRenamed("id", "vid"), "vid", "left")
+        .withColumn("self_w", F.coalesce("self_w", F.lit(0.0)))
+        .join(
+            comm.select(
+                F.col("community").alias("cur"),
+                F.col("tot").alias("tot_cur"),
+                F.col("w_c").alias("w_c_cur"),
+                F.col("csize").alias("size_cur"),
+                F.col("in_c").alias("in_cur"),
+            ),
+            "cur",
+        )
+    )
+    joined = w_vc.join(own, "vid")
+    e_own = joined.filter(F.col("c_dst") == F.col("cur")).select(
+        F.col("vid").alias("eid"), F.col("w").alias("e_own")
+    )
+    with_own = own.join(e_own, own.vid == F.col("eid"), "left").withColumn(
+        "e_own", F.coalesce("e_own", F.lit(0.0))
+    )
+    # own-community gain with the node removed (CPU remove() semantics)
+    q_own = QualityInputs(
+        dnc=F.col("e_own"),
+        degc=F.col("k"),
+        tot_c=F.col("tot_cur") - F.col("k"),
+        in_c=F.col("in_cur") - (F.lit(2.0) * F.col("e_own") + F.col("self_w")),
+        self_v=F.col("self_w"),
+        w_u=F.col("w_u"),
+        w_c=F.col("w_c_cur") - F.col("w_u"),
+        m2=m2,
+        n=n,
+        max_w=max_w,
+    )
+    own_gain = with_own.select(
+        "vid", F.greatest(_gain(qid, q_own, params), F.lit(0.0)).alias("own_gain")
+    )
+
+    q_cand = QualityInputs(
+        dnc=F.col("w"),
+        degc=F.col("k"),
+        tot_c=F.col("tot_c"),
+        in_c=F.col("in_cc"),
+        self_v=F.col("self_w"),
+        w_u=F.col("w_u"),
+        w_c=F.col("w_cc"),
+        m2=m2,
+        n=n,
+        max_w=max_w,
+    )
+    cands = (
+        joined.filter(F.col("c_dst") != F.col("cur"))
+        .join(
+            comm.select(
+                F.col("community").alias("c_dst"),
+                F.col("tot").alias("tot_c"),
+                F.col("w_c").alias("w_cc"),
+                F.col("csize").alias("size_c"),
+                F.col("in_c").alias("in_cc"),
+            ),
+            "c_dst",
+        )
+        .filter(
+            (F.col("c_dst") < F.col("cur"))
+            | (F.col("size_c") > 1)
+            | (F.col("size_cur") > 1)
+        )
+        .withColumn("gain", _gain(qid, q_cand, params))
+    )
+    best = cands.groupBy(F.col("vid").alias("bid")).agg(
+        F.max_by(
+            F.struct(F.col("c_dst").alias("bc"), F.col("gain").alias("bg")),
+            F.struct(F.col("gain"), (-F.col("c_dst")).alias("negc")),
+        ).alias("b")
+    )
+    return (
+        state.join(best, state.id == F.col("bid"), "left")
+        .join(own_gain, state.id == F.col("vid"), "left")
+        .select(
+            state.id,
+            F.when(
+                F.col("b").isNotNull()
+                & (F.col("b.bg") > F.coalesce(F.col("own_gain"), F.lit(0.0))),
+                F.col("b.bc"),
+            )
+            .otherwise(state.community)
+            .alias("community"),
+            state.community.alias("old_community"),
+        )
+    )
+
+
+def louvain_generalized(
+    spark: SparkSession,
+    edges: DataFrame,
+    quality_id: int = 0,
+    params: dict | None = None,
+    max_rounds_per_level: int = 50,
+    max_levels: int = 10,
+    broadcast_threshold: int = 5_000_000,
+) -> GeneralizedLouvainResult:
+    """Multi-level Louvain under quality function ``quality_id`` (0-9,
+    the reference's -q ids). CondorA (4) expects self-loops injected
+    first (graph/hierarchy.py:add_selfloops), as in the reference."""
+    params = params or {}
+    e = edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.coalesce(F.col("weight"), F.lit(1.0)).cast("double").alias("weight"),
+    ).persist()
+    m2 = float(e.agg(F.sum("weight")).first()[0] or 0.0)
+    max_w0 = float(e.agg(F.max("weight")).first()[0] or 1.0)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = float(verts.count())  # sum_nodes_w with unit node weights
+    small = n <= broadcast_threshold
+    metrics: list[dict] = []
+
+    cur_edges = e
+    state = verts.select("id", F.col("id").alias("community"))
+    node_w = verts.select("id", F.lit(1.0).alias("w_u"))
+    orig_map = verts.select(F.col("id").alias("orig"), F.col("id").alias("node"))
+    levels_done = 0
+    for level in range(max_levels):
+        max_w = float(cur_edges.agg(F.max("weight")).first()[0] or max_w0)
+        state = barrier(state, reset_stats=True)
+        moved_any = False
+        for rnd in range(max_rounds_per_level):
+            import time as _time
+
+            _t0 = _time.perf_counter()
+            new_state = barrier(
+                _move_round_q(
+                    cur_edges, state, node_w, quality_id, params, m2, n, max_w, small
+                ),
+                reset_stats=True,
+            )
+            moves = new_state.filter(
+                F.col("community") != F.col("old_community")
+            ).count()
+            release(state)
+            state = new_state  # keep the barriered frame (release registry)
+            metrics.append(
+                {
+                    "level": level,
+                    "round": rnd,
+                    "moves": moves,
+                    "seconds": round(_time.perf_counter() - _t0, 3),
+                }
+            )
+            if moves == 0:
+                break
+            moved_any = True
+        levels_done = level + 1
+        if not moved_any:
+            break
+        dense = _dense_communities(state)
+        if small:
+            dense = F.broadcast(dense)
+        state_dense = barrier(
+            state.join(dense, "community").select("id", F.col("cid").alias("community"))
+        )
+        orig_map = barrier(
+            orig_map.join(state_dense, orig_map.node == state_dense.id).select(
+                "orig", F.col("community").alias("node")
+            )
+        )
+        n_comms = int(state_dense.agg(F.max("community")).first()[0]) + 1
+        n_nodes = state.select("id").distinct().count()
+        if n_comms == n_nodes:
+            break
+        map_s = state_dense.select(F.col("id").alias("ms"), F.col("community").alias("cs"))
+        map_d = state_dense.select(F.col("id").alias("md"), F.col("community").alias("cd"))
+        if small:
+            map_s, map_d = F.broadcast(map_s), F.broadcast(map_d)
+        nxt = barrier(
+            cur_edges.join(map_s, cur_edges.src == F.col("ms"))
+            .join(map_d, cur_edges.dst == F.col("md"))
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("weight").alias("weight"))
+        )
+        node_w = barrier(
+            node_w.join(state_dense, "id")
+            .groupBy(F.col("community").alias("id"))
+            .agg(F.sum("w_u").alias("w_u"))
+        )
+        if cur_edges is not e:
+            release(cur_edges)
+        cur_edges = nxt
+        state = dense.select(F.col("cid").alias("id"), F.col("cid").alias("community"))
+
+    e.unpersist()
+    assignment = orig_map.select(F.col("orig").alias("id"), F.col("node").alias("community"))
+    return GeneralizedLouvainResult(
+        assignment=assignment,
+        levels=levels_done,
+        quality_id=quality_id,
+        metrics=metrics,
+    )

