@@ -23,7 +23,7 @@ pushdown and AQE handles skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EDGE_COLS = ("src", "dst", "weight")
@@ -112,17 +112,14 @@ def url_dictionary(urls: DataFrame, col: str = "url") -> DataFrame:
 
     Deterministic: ids are the 0-based rank of the sorted distinct
     key — reproducible across runs/cluster sizes, unlike
-    ``monotonically_increasing_id``. The global sort is one shuffle at
-    dictionary-build time only; at 10^12 urls you would build this once
-    and persist it (op K5), so determinism is worth the sort.
+    ``monotonically_increasing_id``. Computed with the distributed
+    range-partition + per-partition-offset scheme
+    (``plans/ranks.py:dense_ids``) — NO single-partition sort, so the
+    dictionary build parallelizes across the cluster at 10^12 urls.
     """
-    w = Window.orderBy(col)
-    return (
-        urls.select(col)
-        .where(F.col(col).isNotNull())
-        .distinct()
-        .withColumn("id", F.row_number().over(w).cast("long") - 1)
-    )
+    from linkgraph.plans.ranks import dense_ids
+
+    return dense_ids(urls, col, out_col="id")
 
 
 def renumber(edges: DataFrame, mapping: DataFrame) -> DataFrame:

@@ -1,5 +1,15 @@
 """Multi-level (Louvain) modularity optimization — synchronous-round
-DataFrame supersteps with the reference GPU path's exact semantics.
+DataFrame supersteps with the reference GPU path's exact per-move
+semantics (gain / swap guard / tie-break / acceptance formulas).
+
+Scheduling caveat: the reference GPU applies moves degree-bucket by
+bucket within a round (updateVertexCommunity + communityWeight
+recompute per bucket, ``modularity_optimisation.cu:319-365``); here
+every round is fully synchronous. Both schedules satisfy the same
+per-move acceptance rule but can produce different (equally valid)
+label sets; label exactness is proven against a NumPy oracle that
+replays the identical synchronous schedule, not against the reference
+binary.
 
 Reference parity (all citations into /root/reference):
 
@@ -37,9 +47,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from linkgraph.plans.ranks import dense_ids
 from linkgraph.plans.superstep import barrier, release
 
 
@@ -66,42 +77,17 @@ def _k_table(e: DataFrame) -> DataFrame:
     return e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k"))
 
 
-def _modularity(e: DataFrame, state: DataFrame, k_df: DataFrame, m: float) -> float:
-    labels_s = state.select(F.col("id").alias("sid"), F.col("community").alias("cs"))
-    labels_d = state.select(F.col("id").alias("did"), F.col("community").alias("cd"))
-    # NOTE: self-loops ARE included here (calculateToOwnCommunity has no
-    # neighbour != vertex guard, modularity_optimisation.cu:483-505) —
-    # this keeps Q invariant across contraction levels.
-    e_own = (
-        e.join(labels_s, F.col("src") == F.col("sid"))
-        .join(labels_d, F.col("dst") == F.col("did"))
-        .filter(F.col("cs") == F.col("cd"))
-        .agg(F.sum("weight").alias("w"))
-        .first()["w"]
-        or 0.0
-    )
-    tot_sq = (
-        state.join(k_df, "id", "left")
-        .withColumn("k", F.coalesce("k", F.lit(0.0)))
-        .groupBy("community")
-        .agg(F.sum("k").alias("tot"))
-        .agg(F.sum(F.col("tot") * F.col("tot")).alias("t"))
-        .first()["t"]
-        or 0.0
-    )
-    return float(e_own) / (2.0 * m) - float(tot_sq) / (4.0 * m * m)
+def _move_aggregates(
+    e: DataFrame, state: DataFrame, k_df: DataFrame, small: bool, persist: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Build and persist the per-round aggregate tables shared by the
+    modularity scalar AND the move computation — ONE edges⋈labels join
+    per round instead of the former move-join + _modularity double-join.
 
-
-def _move_round(
-    e: DataFrame,
-    state: DataFrame,
-    k_df: DataFrame,
-    m: float,
-    frontier: DataFrame | None,
-    small: bool,
-) -> DataFrame:
-    """One synchronous move round; returns the new (id, community)."""
-    denom = 2.0 * m * m
+    Returns (joined, comm), both persisted (unless persist=False for
+    one-shot callers); the caller unpersists after the round's new
+    state is materialized.
+    """
     labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
     if small:
         labels = F.broadcast(labels)
@@ -124,13 +110,14 @@ def _move_round(
             F.count(F.lit(1)).alias("csize"),
         )
     )
-    if small:
-        comm = F.broadcast(comm)
+    if persist:
+        comm = comm.persist()
 
+    comm_b = F.broadcast(comm) if small else comm
     own = (
         state.join(k_df, "id")
         .join(
-            comm.select(
+            comm_b.select(
                 F.col("community").alias("cur"),
                 F.col("tot").alias("tot_cur"),
                 F.col("csize").alias("size_cur"),
@@ -141,6 +128,44 @@ def _move_round(
     )
 
     joined = w_vc.join(own, w_vc.vid == own.id)
+    if persist:
+        joined = joined.persist()
+    return joined, comm
+
+
+def _q_from_aggregates(
+    joined: DataFrame, comm: DataFrame, m: float, self_total: float
+) -> float:
+    """Modularity of the CURRENT state from the round's own aggregates
+    (``calculateModularity``, modularity_optimisation.cu:483-521):
+    Q = e_own/(2M) - Σ tot²/(4M²). ``joined`` excludes self-loops (the
+    neighbour != vertex guard), but calculateToOwnCommunity includes
+    them — a self-loop is always intra-community, so their total is a
+    per-level constant added back here. One scalar action on persisted
+    frames; no edge-table re-join."""
+    row = (
+        joined.filter(F.col("c_dst") == F.col("cur"))
+        .agg(F.sum("w").alias("eo"))
+        .crossJoin(comm.agg(F.sum(F.col("tot") * F.col("tot")).alias("ts")))
+        .first()
+    )
+    e_own = float(row["eo"] or 0.0) + self_total
+    tot_sq = float(row["ts"] or 0.0)
+    return e_own / (2.0 * m) - tot_sq / (4.0 * m * m)
+
+
+def _move_from_aggregates(
+    state: DataFrame,
+    joined: DataFrame,
+    comm: DataFrame,
+    m: float,
+    frontier: DataFrame | None,
+    small: bool,
+) -> DataFrame:
+    """One synchronous move round over prebuilt aggregates; returns the
+    new (id, community)."""
+    denom = 2.0 * m * m
+    comm_b = F.broadcast(comm) if small else comm
 
     # e(v -> C(v)\v): weight to own community (0 if none)
     e_own = joined.filter(F.col("c_dst") == F.col("cur")).select(
@@ -151,7 +176,7 @@ def _move_round(
     cands = (
         joined.filter(F.col("c_dst") != F.col("cur"))
         .join(
-            comm.select(
+            comm_b.select(
                 F.col("community").alias("c_dst"),
                 F.col("tot").alias("tot_c"),
                 F.col("csize").alias("size_c"),
@@ -204,6 +229,20 @@ def _move_round(
     )
 
 
+def _move_round(
+    e: DataFrame,
+    state: DataFrame,
+    k_df: DataFrame,
+    m: float,
+    frontier: DataFrame | None,
+    small: bool,
+) -> DataFrame:
+    """One synchronous move round (one-shot form: aggregates built
+    inline, not persisted); returns the new (id, community)."""
+    joined, comm = _move_aggregates(e, state, k_df, small, persist=False)
+    return _move_from_aggregates(state, joined, comm, m, frontier, small)
+
+
 def _one_level(
     spark: SparkSession,
     e: DataFrame,
@@ -217,35 +256,69 @@ def _one_level(
     level: int,
 ) -> tuple[DataFrame, bool, float]:
     k_df = _k_table(e).persist()
+    # self-loop weight total: per-level constant (moves never change
+    # which community a self-loop is internal to) — folded into Q
+    self_total = float(
+        e.filter(F.col("src") == F.col("dst")).agg(F.sum("weight")).first()[0] or 0.0
+    )
     state = barrier(state, reset_stats=True)
-    q_before = _modularity(e, state, k_df, m)
     improved = False
-    q_after = q_before
+    q_prev: float | None = None
+    q_after: float | None = None
+    # Round structure: each iteration FIRST scores the current state
+    # from the round's own aggregates (one cheap scalar action on the
+    # persisted frames), which is the previous round's q_after — then
+    # applies the move. Executed moves, stop round, and labels are
+    # IDENTICAL to the former move-then-_modularity loop; the edge
+    # table is joined once per round instead of three times.
     for rnd in range(max_rounds):
-        new_state = barrier(_move_round(e, state, k_df, m, frontier, small), reset_stats=True)
+        joined, comm = _move_aggregates(e, state, k_df, small)
+        q_cur = _q_from_aggregates(joined, comm, m, self_total)
+        if rnd == 0:
+            q_prev = q_cur  # Q before any move this level
+        else:
+            gain = q_cur - q_prev
+            q_prev = q_cur
+            metrics.append({"level": level, "round": rnd - 1, "q": q_cur, "gain": gain})
+            if gain > 0:
+                improved = True
+            if gain < min_gain:
+                q_after = q_cur
+                joined.unpersist()
+                comm.unpersist()
+                break
+        new_state = barrier(
+            _move_from_aggregates(state, joined, comm, m, frontier, small),
+            reset_stats=True,
+        )
+        joined.unpersist()
+        comm.unpersist()
         release(state)
         state = new_state
-        q_after = _modularity(e, state, k_df, m)
-        gain = q_after - q_before
-        q_before = q_after
-        metrics.append({"level": level, "round": rnd, "q": q_after, "gain": gain})
-        if gain > 0:
-            improved = True
-        if gain < min_gain:
-            break
+    if q_after is None:
+        # exited via max_rounds: score the final state once
+        joined, comm = _move_aggregates(e, state, k_df, small)
+        q_after = _q_from_aggregates(joined, comm, m, self_total)
+        joined.unpersist()
+        comm.unpersist()
+        if q_prev is not None and max_rounds > 0:
+            gain = q_after - q_prev
+            metrics.append(
+                {"level": level, "round": max_rounds - 1, "q": q_after, "gain": gain}
+            )
+            if gain > 0:
+                improved = True
     k_df.unpersist()
     return state, improved, q_after
 
 
 def _dense_communities(state: DataFrame) -> DataFrame:
     """A6: dense renumber by ascending community id (GPU exclusive-scan
-    ordering). Returns (community, cid)."""
-    w = Window.orderBy("community")
-    return (
-        state.select("community")
-        .distinct()
-        .withColumn("cid", F.row_number().over(w).cast("long") - 1)
-    )
+    ordering, ``community_aggregation.cu:267-273`` — a PARALLEL scan in
+    the reference, and a distributed range-partition + offset scheme
+    here; no single-partition sort). Returns (community, cid),
+    eagerly materialized."""
+    return dense_ids(state, "community", out_col="cid")
 
 
 def louvain(
@@ -285,12 +358,36 @@ def louvain(
     small = n <= broadcast_threshold
     metrics: list[dict] = []
 
+    if m == 0.0:
+        # Edgeless graph (possible mid-stream: a deletion batch can
+        # remove every edge): every vertex its own dense community,
+        # modularity 0 — no division by M anywhere.
+        e.unpersist()
+        dense = _dense_communities(verts.select(F.col("id").alias("community")))
+        assignment = dense.select(
+            F.col("community").alias("id"), F.col("cid").alias("community")
+        )
+        hierarchy = assignment.select(
+            F.lit(0).alias("level"), F.col("id").alias("node"), F.col("community")
+        )
+        return LouvainResult(
+            assignment=assignment, hierarchy=hierarchy, modularity=0.0,
+            levels=0, metrics=metrics,
+        )
+
     if init_partition is not None:
-        state = verts.join(
-            init_partition.select("id", F.col("community").cast("long").alias("community")),
+        init = init_partition.select(
+            "id", F.col("community").cast("long").alias("community")
+        )
+        # Fallback labels for vertices the warm start doesn't cover must
+        # not collide with its (often dense 0..k) labels: offset past
+        # max(init community), as seed_new_nodes does.
+        max_c = init.agg(F.max("community")).first()[0]
+        offset = int(max_c) + 1 if max_c is not None else 0
+        state = verts.join(init, "id", "left").select(
             "id",
-            "left",
-        ).select("id", F.coalesce("community", F.col("id")).alias("community"))
+            F.coalesce("community", F.col("id") + F.lit(offset)).alias("community"),
+        )
     else:
         state = verts.select("id", F.col("id").alias("community"))
 

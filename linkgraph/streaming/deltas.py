@@ -13,9 +13,10 @@ semantics: adding an existing edge accumulates its weight.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from linkgraph.plans.ranks import dense_ids
 from linkgraph.plans.superstep import barrier
 
 
@@ -94,8 +95,10 @@ def seed_new_nodes(
     rest = new_nodes.join(adopt.select("id"), "id", "left_anti")
     n_comm = state.agg(F.max("community")).first()[0]
     n_comm = int(n_comm) + 1 if n_comm is not None else 0
-    w = Window.orderBy("id")
-    fresh = rest.withColumn(
-        "community", F.row_number().over(w).cast("long") - 1 + F.lit(n_comm)
+    # ascending-node-id rank without a single-partition window (the
+    # batch's new-node set is usually small, but the ingest spine
+    # should never contain a SinglePartition exchange on any path)
+    fresh = dense_ids(rest, "id", out_col="rank").select(
+        "id", (F.col("rank") + F.lit(n_comm)).alias("community")
     )
     return barrier(old.unionByName(adopt).unionByName(fresh.select("id", "community")))

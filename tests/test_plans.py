@@ -131,3 +131,56 @@ def test_extraction_is_arrow_vectorized(spark):
     plan = _plan(extract_pages(spark, pages))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+def test_dense_ids_no_single_partition_exchange(spark):
+    """S4/A6 scale audit: dense-id assignment must never collapse to a
+    single task (the round-1 scale-killer was Window.orderBy with no
+    partitionBy => Exchange SinglePartition at the head of the ingest
+    spine). Audited on the url_dictionary plan AND on the Louvain dense
+    renumber."""
+    from linkgraph.graph.build import url_dictionary
+    from linkgraph.operators.louvain import _dense_communities
+
+    urls = spark.createDataFrame(
+        [(f"https://example.org/p{i % 97}",) for i in range(300)], "url string"
+    )
+    d = url_dictionary(urls)
+    assert "SinglePartition" not in _plan(d)
+
+    state = spark.createDataFrame(
+        [(i, i % 13) for i in range(200)], "id long, community long"
+    )
+    dense = _dense_communities(state)
+    assert "SinglePartition" not in _plan(dense)
+
+
+def test_dense_ids_match_global_sort_rank(spark):
+    """The distributed offset scheme must be byte-identical to the
+    global sorted rank, independent of the partition count."""
+    from linkgraph.plans.ranks import dense_ids
+
+    vals = [f"u{i:04d}" for i in range(311)]
+    import random
+
+    rng = random.Random(7)
+    rng.shuffle(vals)
+    # duplicates + nulls exercise distinct + null filtering
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(vals[3],), (None,)], "url string"
+    )
+    expect = {v: i for i, v in enumerate(sorted(set(vals)))}
+    for nparts in (1, 7, 32):
+        got = {
+            r["url"]: r["id"]
+            for r in dense_ids(df, "url", num_partitions=nparts).collect()
+        }
+        assert got == expect, f"nparts={nparts}"
+
+
+def test_dense_ids_empty(spark):
+    from linkgraph.plans.ranks import dense_ids
+
+    df = spark.createDataFrame([], "url string")
+    out = dense_ids(df, "url")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["url", "id"]
