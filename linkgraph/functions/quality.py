@@ -104,7 +104,13 @@ def dp_gain(q: QualityInputs) -> Column:
 
 
 def shimalik_gain(q: QualityInputs, kappa: float = 1.0, kappa_min: float = 0.0) -> Column:
-    """id 8 Shi-Malik, gated by kappa >= kappa_min (shimalik.h:103-126)."""
+    """id 8 Shi-Malik, gated by kappa >= kappa_min (shimalik.h:103-126).
+
+    kappa is the live non-empty-community count in the reference
+    (updated mid-scan by remove/insert, shimalik.h:83,95); the
+    synchronous engine passes the round-start count instead
+    (louvain_generalized recomputes it per round when the gate can
+    fire) — a documented synchronous-round divergence."""
     if kappa < kappa_min:
         return F.lit(0.0)
     empty = (F.lit(2.0) * q.dnc + q.self_v) / q.degc - F.lit(1.0)
@@ -138,3 +144,142 @@ def modularity_quality(in_sum: Column, tot_sq_sum: Column, m2: float) -> Column:
     """id 0 full quality: Q = sum_c in_c/m2 - (tot_c/m2)^2
     (modularity.cpp:71-91; liveness test tot_c > 0 handled upstream)."""
     return in_sum / F.lit(m2) - tot_sq_sum / F.lit(m2 * m2)
+
+
+def graph_weighting(edges, quality_id: int):
+    """Level-0 edge reweighting required by CondorA (id 4,
+    ``condora.cpp:58-104``) and DP (id 7, ``dp.cpp:70-108``); the
+    reference driver applies it once before the first level
+    (``main_louvain.cpp:1022-1045``, nbc == 0 only).
+
+    edges: the canonical symmetric table (both directions present,
+    self-loops once) — its rows ARE the reference's directed adjacency
+    entries, so the returned side scalar (sum_se for 4, sum_sq for 7)
+    sums over exactly the same terms.
+
+    With d(u) = adjacency-entry count (self-loop counts once) and
+    A_uu = self-loop weight:
+      id 7:  A'_uv = 2·A_uv/(d(u)+d(v));           sum_sq = Σ A'_uv²
+      id 4:  aux   = 2·A_uv/(d(u)+d(v))
+             tmp   = A_uu/(2d(u)) + A_vv/(2d(v))
+             A'_uv = 2·aux − tmp;                  sum_se = Σ (tmp − aux)
+    (CondorA expects self-loops injected first — G3 add_selfloops — so
+    every d(u) includes the loop, exactly as the driver's call order.)
+
+    One degrees aggregation + two broadcast-or-shuffle joins; returns
+    (reweighted (src,dst,weight) DataFrame — eagerly materialized so
+    downstream sums see one fixed set of float64 values — and the side
+    scalar as float).
+    """
+    if quality_id not in (4, 7):
+        raise ValueError(f"graph_weighting applies to ids 4/7, got {quality_id}")
+    from linkgraph.plans.superstep import barrier, release
+
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(0.0)
+        ).alias("sl"),
+    )
+    ds = deg.select(
+        F.col("id").alias("src"), F.col("d").alias("d_src"), F.col("sl").alias("sl_src")
+    )
+    dd = deg.select(
+        F.col("id").alias("dst"), F.col("d").alias("d_dst"), F.col("sl").alias("sl_dst")
+    )
+    j = edges.join(ds, "src").join(dd, "dst")
+    aux = F.lit(2.0) * F.col("weight") / (F.col("d_src") + F.col("d_dst"))
+    if quality_id == 7:
+        new_w = aux
+        side = new_w * new_w
+    else:
+        tmp = F.col("sl_src") / (F.lit(2.0) * F.col("d_src")) + F.col("sl_dst") / (
+            F.lit(2.0) * F.col("d_dst")
+        )
+        new_w = F.lit(2.0) * aux - tmp
+        side = tmp - aux
+    out = barrier(
+        j.select("src", "dst", new_w.alias("weight"), side.alias("_side"))
+    )
+    scalar = float(out.agg(F.sum("_side")).first()[0] or 0.0)
+    reweighted = out.select("src", "dst", "weight")
+    # NOTE: `out` stays checkpointed until `reweighted` is superseded;
+    # callers that persist their own copy may release(out) via the
+    # returned frame's lineage — at one reweight per run this is a
+    # vertex+edge-sized block, not a leak that grows.
+    _ = release  # (kept importable for callers)
+    return reweighted, scalar
+
+
+def quality_value(
+    comm,
+    quality_id: int,
+    m2: float,
+    n: float,
+    max_w: float,
+    alpha: float = 0.5,
+    side: float = 0.0,
+) -> float:
+    """Full quality aggregate of a partition — the scalar the reference
+    prints each pass (``{modularity,zahn,owzad,goldberg,condora,devind,
+    devuni,dp,shimalik,balmod}.cpp::quality()``).
+
+    comm: per-community aggregates (community, in_c, tot, w_c) where
+    in_c = intra-community weight over symmetric rows (= reference
+    in[c]: 2·intra-pairs + self-loops), tot = Σ weighted degree,
+    w_c = Σ node weights. side: sum_se (id 4) / sum_sq (id 7) from
+    graph_weighting. kappa (live non-empty community count, ids 7/8)
+    is derived from the same aggregates. One scalar action.
+    """
+    in_c, tot, w_c = F.col("in_c"), F.col("tot"), F.col("w_c")
+    z = F.lit(0.0)
+    nn = n * n
+
+    def _sum(cond, expr):
+        return F.coalesce(F.sum(F.when(cond, expr)), z)
+
+    if quality_id == 0:
+        agg = _sum(tot > 0.0, in_c - tot * tot / F.lit(m2)) / F.lit(m2)
+    elif quality_id == 1:
+        agg = (
+            _sum(w_c > 0.0, F.lit(2.0) * in_c - F.lit(max_w) * w_c * w_c)
+            + F.lit(nn * max_w - m2)
+        ) / F.lit(nn * max_w)
+    elif quality_id == 2:
+        agg = (
+            _sum(w_c > 0.0, in_c - F.lit(alpha) * (w_c * w_c * F.lit(max_w)))
+            + F.lit(alpha * (nn * max_w - m2))
+        ) / F.lit(nn * max_w)
+    elif quality_id == 3:
+        agg = _sum(w_c * 2.0 > 0.0, in_c / (w_c * F.lit(2.0))) / F.lit(n * max_w)
+    elif quality_id == 4:
+        agg = (F.coalesce(F.sum(in_c), z) + F.lit(side)) / F.lit(nn)
+    elif quality_id == 5:
+        agg = (
+            _sum(w_c > 0.0, in_c - (F.lit(2.0) * tot * w_c) / F.lit(n))
+            + _sum(w_c > 0.0, w_c * w_c) * F.lit(m2 / nn)
+        ) / F.lit(m2)
+    elif quality_id == 6:
+        agg = (
+            _sum(w_c > 0.0, in_c) - _sum(w_c > 0.0, w_c * w_c) * F.lit(m2 / nn)
+        ) / F.lit(m2)
+    elif quality_id == 7:
+        kappa = F.coalesce(F.sum(F.when(w_c > 0.0, F.lit(1))), F.lit(0)).cast("double")
+        agg = (
+            _sum(w_c > 0.0, F.lit(2.0) * in_c / w_c) - (F.lit(side) + kappa)
+        ) / F.lit(nn * max_w)
+    elif quality_id == 8:
+        kappa = F.coalesce(F.sum(F.when(tot > 0.0, F.lit(1))), F.lit(0)).cast("double")
+        agg = (_sum(tot > 0.0, in_c / tot) - kappa) / F.lit(n)
+    elif quality_id == 9:
+        agg = _sum(
+            w_c > 0.0,
+            F.lit(2.0) * in_c
+            - (tot * tot) / F.lit(m2)
+            - w_c * w_c * F.lit(max_w)
+            + ((F.lit(n) * w_c * F.lit(max_w) - tot) * (F.lit(n) * w_c * F.lit(max_w) - tot))
+            / F.lit(nn * max_w - m2),
+        ) / F.lit(nn * max_w)
+    else:
+        raise ValueError(f"unknown quality id {quality_id}")
+    return float(comm.agg(agg.alias("q")).first()["q"])

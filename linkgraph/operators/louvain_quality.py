@@ -10,23 +10,45 @@ Differences from operators.louvain (the GPU-exact default, id 0):
   happens only if best-candidate gain > max(own gain, 0) — mirroring
   the CPU loop's best_increase init (src/louvain.cpp:413-428).
 * convergence = moves count per synchronous round (the scalar the
-  reference's pass loop uses, src/louvain.cpp:458-460); modularity is
-  still reported for observability.
+  reference's pass loop uses, src/louvain.cpp:458-460); the metric's
+  full quality() value is computed at every level boundary (the scalar
+  the reference prints per pass) and recorded in metrics.
 * node weights (nodes_w, src/graph_binary.h:67) are tracked across
   contractions — several metrics (Zahn/OwZad/Goldberg/DevInd/DevUni/
   DP/BalMod) depend on them.
 * the W3 swap guard is kept: synchronous rounds need it regardless of
   metric (documented divergence from the sequential CPU loop).
+
+Reference driver preprocessing reproduced here
+(main_louvain.cpp:1000-1060, applied at nbc == 0 — level 0 — only):
+* max_w (Graph::max_weight) is computed ONCE at level 0 and reused at
+  every contracted level (contraction inflates weights; recomputing
+  would change Zahn/OwZad/Goldberg/DP/BalMod semantics).
+* CondorA (4): add_selfloops, then CondorA::graph_weighting; the side
+  scalar sum_se feeds quality().
+* DP (7): max_w from the ORIGINAL weights, then DP::graph_weighting;
+  the side scalar sum_sq feeds quality().
+* ShiMalik (8): kappa (live non-empty-community count) gates the gain
+  at kappa < kappa_min; here kappa is the count at round start (the
+  sequential CPU updates it mid-scan — a documented synchronous-round
+  divergence), recomputed only when the gate can fire (kappa_min > 1).
 """
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.functions.quality import GAIN_FUNCTIONS, QualityInputs
+from linkgraph.functions.quality import (
+    GAIN_FUNCTIONS,
+    QualityInputs,
+    graph_weighting,
+    quality_value,
+)
+from linkgraph.graph.hierarchy import add_selfloops
 from linkgraph.operators.louvain import _dense_communities, _k_table
 from linkgraph.plans.superstep import barrier, release
 
@@ -36,6 +58,7 @@ class GeneralizedLouvainResult:
     assignment: DataFrame
     levels: int
     quality_id: int
+    quality: float = 0.0
     metrics: list[dict] = field(default_factory=list)
 
 
@@ -48,30 +71,16 @@ def _gain(qid: int, q: QualityInputs, params: dict) -> F.Column:
     return fn(q)
 
 
-def _move_round_q(
-    e: DataFrame,
-    state: DataFrame,
-    node_w: DataFrame,
-    qid: int,
-    params: dict,
-    m2: float,
-    n: float,
-    max_w: float,
-    small: bool,
-) -> DataFrame:
-    k_df = _k_table(e)
-    self_df = (
-        e.filter(F.col("src") == F.col("dst"))
-        .groupBy(F.col("src").alias("id"))
-        .agg(F.sum("weight").alias("self_w"))
-    )
-    labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
+def _per_node_and_comm(
+    e: DataFrame, state: DataFrame, node_w: DataFrame, k_df: DataFrame, small: bool
+) -> tuple[DataFrame, DataFrame]:
+    """per_node: (id, community, k, w_u); comm: (community, tot, w_c,
+    csize, in_c) where in_c sums symmetric intra-community rows
+    (= reference in[c]: 2·intra-pairs + self-loops)."""
     st_s = state.select(F.col("id").alias("sid"), F.col("community").alias("cs"))
     st_d = state.select(F.col("id").alias("did"), F.col("community").alias("cd"))
     if small:
-        labels, st_s, st_d = F.broadcast(labels), F.broadcast(st_s), F.broadcast(st_d)
-
-    # community aggregates: tot, size, node weight, internal weight
+        st_s, st_d = F.broadcast(st_s), F.broadcast(st_d)
     per_node = (
         state.join(k_df, "id", "left")
         .join(node_w, "id", "left")
@@ -97,6 +106,27 @@ def _move_round_q(
     comm = comm.join(in_c, "community", "left").withColumn(
         "in_c", F.coalesce("in_c", F.lit(0.0))
     )
+    return per_node, comm
+
+
+def _move_round_q(
+    e: DataFrame,
+    state: DataFrame,
+    node_w: DataFrame,
+    k_df: DataFrame,
+    self_df: DataFrame,
+    qid: int,
+    params: dict,
+    m2: float,
+    n: float,
+    max_w: float,
+    small: bool,
+) -> DataFrame:
+    labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
+    if small:
+        labels = F.broadcast(labels)
+
+    per_node, comm = _per_node_and_comm(e, state, node_w, k_df, small)
     if small:
         comm = F.broadcast(comm)
 
@@ -210,16 +240,30 @@ def louvain_generalized(
     broadcast_threshold: int = 5_000_000,
 ) -> GeneralizedLouvainResult:
     """Multi-level Louvain under quality function ``quality_id`` (0-9,
-    the reference's -q ids). CondorA (4) expects self-loops injected
-    first (graph/hierarchy.py:add_selfloops), as in the reference."""
-    params = params or {}
+    the reference's -q ids). Level-0 preprocessing (self-loop injection
+    + graph_weighting for CondorA/DP, one-time max_w) is applied
+    internally, matching the reference driver's call order
+    (main_louvain.cpp:1022-1045); add_selfloops is idempotent, so
+    callers that already injected loops are unaffected."""
+    params = dict(params or {})
     e = edges.select(
         F.col("src").cast("long"),
         F.col("dst").cast("long"),
         F.coalesce(F.col("weight"), F.lit(1.0)).cast("double").alias("weight"),
-    ).persist()
+    )
+    side = 0.0
+    max_w = 1.0
+    if quality_id == 7:
+        # DP: max_weight from the ORIGINAL weights, then reweight
+        max_w = float(e.agg(F.max("weight")).first()[0] or 1.0)
+        e, side = graph_weighting(e, 7)
+    elif quality_id == 4:
+        e = add_selfloops(e)
+        e, side = graph_weighting(e, 4)
+    e = e.persist()
     m2 = float(e.agg(F.sum("weight")).first()[0] or 0.0)
-    max_w0 = float(e.agg(F.max("weight")).first()[0] or 1.0)
+    if quality_id not in (4, 7):
+        max_w = float(e.agg(F.max("weight")).first()[0] or 1.0)
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -229,22 +273,49 @@ def louvain_generalized(
     small = n <= broadcast_threshold
     metrics: list[dict] = []
 
+    if m2 == 0.0:
+        # edgeless graph: every vertex its own dense community
+        e.unpersist()
+        dense = _dense_communities(verts.select(F.col("id").alias("community")))
+        assignment = dense.select(
+            F.col("community").alias("id"), F.col("cid").alias("community")
+        )
+        return GeneralizedLouvainResult(
+            assignment=assignment, levels=0, quality_id=quality_id,
+            quality=0.0, metrics=metrics,
+        )
+
+    kappa_min = params.get("kappa_min", 0.0)
     cur_edges = e
     state = verts.select("id", F.col("id").alias("community"))
     node_w = verts.select("id", F.lit(1.0).alias("w_u"))
     orig_map = verts.select(F.col("id").alias("orig"), F.col("id").alias("node"))
     levels_done = 0
+    q_final = 0.0
     for level in range(max_levels):
-        max_w = float(cur_edges.agg(F.max("weight")).first()[0] or max_w0)
         state = barrier(state, reset_stats=True)
+        k_df = _k_table(cur_edges).persist()
+        self_df = (
+            cur_edges.filter(F.col("src") == F.col("dst"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("weight").alias("self_w"))
+        ).persist()
         moved_any = False
         for rnd in range(max_rounds_per_level):
-            import time as _time
-
-            _t0 = _time.perf_counter()
+            _t0 = time.perf_counter()
+            if quality_id == 8 and kappa_min > 1:
+                # live kappa at round start (see module docstring)
+                params["kappa"] = float(
+                    state.join(k_df, "id")
+                    .filter(F.col("k") > 0.0)
+                    .select("community")
+                    .distinct()
+                    .count()
+                )
             new_state = barrier(
                 _move_round_q(
-                    cur_edges, state, node_w, quality_id, params, m2, n, max_w, small
+                    cur_edges, state, node_w, k_df, self_df,
+                    quality_id, params, m2, n, max_w, small,
                 ),
                 reset_stats=True,
             )
@@ -258,12 +329,22 @@ def louvain_generalized(
                     "level": level,
                     "round": rnd,
                     "moves": moves,
-                    "seconds": round(_time.perf_counter() - _t0, 3),
+                    "seconds": round(time.perf_counter() - _t0, 3),
                 }
             )
             if moves == 0:
                 break
             moved_any = True
+        # the metric's quality() value at this level's fixpoint — the
+        # scalar the reference prints each pass
+        _, comm = _per_node_and_comm(cur_edges, state, node_w, k_df, small)
+        q_final = quality_value(
+            comm, quality_id, m2, n, max_w,
+            alpha=params.get("alpha", 0.5), side=side,
+        )
+        metrics.append({"level": level, "quality": q_final})
+        k_df.unpersist()
+        self_df.unpersist()
         levels_done = level + 1
         if not moved_any:
             break
@@ -308,5 +389,6 @@ def louvain_generalized(
         assignment=assignment,
         levels=levels_done,
         quality_id=quality_id,
+        quality=q_final,
         metrics=metrics,
     )

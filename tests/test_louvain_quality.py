@@ -40,3 +40,64 @@ def test_generalized_modularity_finds_toy_communities(spark):
     # deterministic across runs
     res2 = louvain_generalized(spark, g, quality_id=0)
     assert got == {r.id: r.community for r in res2.assignment.collect()}
+
+
+# ---- exact-label + quality cross-oracle (all 10 ids) -----------------
+
+from tests.oracle_quality import generalized_oracle
+
+
+def _edge_rows(g):
+    return [(r.src, r.dst, r.weight) for r in g.select("src", "dst", "weight").collect()]
+
+
+@pytest.mark.parametrize("qid", list(range(10)))
+def test_generalized_labels_and_quality_match_oracle_toy(spark, qid):
+    """End-to-end cross-validation vs the independent NumPy oracle:
+    exact labels + quality() to 1e-9, for every quality id, including
+    the level-0 graph_weighting preprocessing (CondorA/DP)."""
+    g = build_graph(toy_edges_df(spark))
+    res = louvain_generalized(
+        spark, g, quality_id=qid, max_levels=4, max_rounds_per_level=12
+    )
+    want, q_want, lv_want = generalized_oracle(
+        _edge_rows(g), qid, max_rounds=12, max_levels=4
+    )
+    got = {r.id: r.community for r in res.assignment.collect()}
+    assert got == want, f"labels diverge for qid={qid}"
+    assert res.quality == pytest.approx(q_want, abs=1e-9), f"quality qid={qid}"
+    assert res.levels == lv_want
+
+
+_RAND_QIDS = list(range(10)) if os.environ.get("LINKGRAPH_SLOW") else [1, 4, 7, 8]
+
+
+@pytest.mark.parametrize("qid", _RAND_QIDS)
+def test_generalized_matches_oracle_random_graph(spark, qid):
+    """Seeded random graph (integer weights 1-3, planted blocks)."""
+    import random
+
+    rng = random.Random(42)
+    raw = set()
+    for _ in range(90):
+        block = rng.randrange(4)
+        u = rng.randrange(10) + block * 10
+        v = rng.randrange(10) + block * 10
+        if u != v:
+            raw.add((min(u, v), max(u, v)))
+    for _ in range(12):  # sparse inter-block edges
+        u, v = rng.randrange(40), rng.randrange(40)
+        if u != v:
+            raw.add((min(u, v), max(u, v)))
+    rows = [(u, v, float(rng.randint(1, 3))) for u, v in sorted(raw)]
+    df = spark.createDataFrame(rows, "src long, dst long, weight double")
+    g = build_graph(df)
+    res = louvain_generalized(
+        spark, g, quality_id=qid, max_levels=3, max_rounds_per_level=8
+    )
+    want, q_want, lv_want = generalized_oracle(
+        _edge_rows(g), qid, max_rounds=8, max_levels=3
+    )
+    got = {r.id: r.community for r in res.assignment.collect()}
+    assert got == want, f"labels diverge for qid={qid}"
+    assert res.quality == pytest.approx(q_want, abs=1e-9)
