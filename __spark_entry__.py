@@ -58,8 +58,10 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full fixpoint (converges in ~5 rounds at sf0.01; oracle unrolls 8 —
-    min-propagation is monotone so extra oracle rounds are no-ops)."""
+    """Full fixpoint. The oracle unrolls 16 rounds — 3x the observed
+    round count at sf0.01 (~5) so an sf bump cannot silently turn a
+    correct engine red; min-propagation is monotone, so extra oracle
+    rounds beyond the true diameter are no-ops."""
     from linkgraph.operators.components import connected_components
 
     return connected_components(spark, undirected_edges(spark, sf_dir), max_iter=50)
@@ -227,14 +229,14 @@ def _pagerank_sql(k: int) -> str:
     (no dangling vertices by construction)."""
     parts = [
         f"WITH {EDGES_CTE},",
-        "  verts AS (SELECT DISTINCT src AS id FROM edges),",
+        "  verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),",
         "  nn AS (SELECT count(*) AS n FROM verts),",
         "  outw AS (SELECT src AS id, sum(weight) AS ow FROM edges GROUP BY src),",
         "  s0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS score FROM verts),",
     ]
     for i in range(1, k + 1):
         parts.append(
-            f"""  s{i} AS (
+            f"""  s{i} AS MATERIALIZED (
     SELECT v.id,
            (1.0 - {DAMPING}) / (SELECT n FROM nn)
            + {DAMPING} * COALESCE(sum(s.score * e.weight / o.ow), 0.0) AS score
@@ -254,12 +256,12 @@ def _cc_sql(k: int) -> str:
     any k >= the true round count yields the fixpoint)."""
     parts = [
         f"WITH {EDGES_CTE},",
-        "  verts AS (SELECT DISTINCT src AS id FROM edges),",
+        "  verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),",
         "  c0 AS (SELECT id, id AS component FROM verts),",
     ]
     for i in range(1, k + 1):
         parts.append(
-            f"""  c{i} AS (
+            f"""  c{i} AS MATERIALIZED (
     SELECT v.id,
            least(c.component, coalesce(min(cn.component), c.component)) AS component
     FROM verts v
@@ -279,12 +281,12 @@ def _lpa_sql(k: int) -> str:
     it attains the max, else lowest label."""
     parts = [
         f"WITH {EDGES_CTE},",
-        "  verts AS (SELECT DISTINCT src AS id FROM edges),",
+        "  verts AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),",
         "  l0 AS (SELECT id, id AS label FROM verts),",
     ]
     for i in range(1, k + 1):
         parts.append(
-            f"""  l{i} AS (
+            f"""  l{i} AS MATERIALIZED (
     SELECT vid AS id, nbr_label AS label FROM (
       SELECT e.src AS vid, ln.label AS nbr_label, cur.label AS cur_label,
              sum(e.weight) AS w
@@ -461,7 +463,7 @@ def oracle_sql() -> dict[str, str]:
             FROM canon e1
             JOIN canon e2 ON e1.dst = e2.src
             JOIN canon e3 ON e1.src = e3.src AND e2.dst = e3.dst""",
-        "connected_components": _cc_sql(8),
+        "connected_components": _cc_sql(16),
         "lpa_k4": _lpa_sql(4),
         "louvain_move_round1": _louvain_move_round1_sql(),
         "doc_tokens": f"""SELECT doc_id,

@@ -72,6 +72,36 @@ def main() -> None:
     timed("lpa_k4", lambda: label_propagation(spark, edges, runner=lpa_runner).count())
     timed("triangle_count", lambda: triangle_count(spark, edges).collect())
 
+    # -- Louvain multi-level + incremental w/ delta screening ---------
+    from pyspark.sql import functions as F
+    from linkgraph.operators.louvain import louvain
+    from linkgraph.streaming.incremental import run_incremental
+
+    timed("louvain", lambda: louvain(spark, edges).assignment.count())
+
+    def incremental():
+        # deterministic delta stream: ~1% of canonical edges deleted at
+        # ts 0 and re-added at ts 1 (hash-selected, no RNG)
+        canon = edges.filter(F.col("src") < F.col("dst"))
+        sel = canon.filter(F.pmod(F.xxhash64("src", "dst"), F.lit(100)) == 0)
+        dels = sel.select(
+            F.lit(0).alias("ts"), F.lit("del").alias("op"), "src", "dst", "weight"
+        )
+        adds = sel.select(
+            F.lit(1).alias("ts"), F.lit("add").alias("op"), "src", "dst", "weight"
+        )
+        run = run_incremental(spark, edges, dels.unionByName(adds))
+        fracs = [m["r_frac"] for m in run.metrics if m["phase"] != "static"]
+        extra["incremental_phases"] = len(fracs)
+        if fracs:
+            # the reference's headline delta-screening win (R%,
+            # main_louvain.cpp:1348): fraction of vertices re-evaluated
+            extra["incremental_r_frac_mean"] = round(sum(fracs) / len(fracs), 4)
+            extra["incremental_r_frac_max"] = round(max(fracs), 4)
+        run.state.count()
+
+    timed("incremental", incremental)
+
     # -- pages spine: generate -> extract -> graph -> PageRank -------
     n_pages = max(2000, int(float(sf) * 200_000)) if sf.replace(".", "").isdigit() else 20000
 
@@ -99,7 +129,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-queries wall time (graph build, PageRank@1e-6, CC, LPA, triangles, pages pipeline)",
+                "metric": "headline-queries wall time (graph build, PageRank@1e-6, CC, LPA, triangles, Louvain, incremental+screening, pages pipeline)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

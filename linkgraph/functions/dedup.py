@@ -162,7 +162,13 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("a", "b", "est_jaccard")
     )
-    return est
+    from linkgraph.plans.superstep import barrier
+
+    # materialize the (bounded) pair table, then release the signature
+    # cache — repeated calls must not accumulate executor memory
+    out = barrier(est)
+    sigs.unpersist()
+    return out
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
@@ -193,21 +199,58 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 3, prefix_bits: int = 16
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3, n_blocks: int = 4
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on the high prefix_bits (cheap LSH
-    for small hamming radii), verify hamming distance <= max_hamming.
-    Returns (a, b, hamming)."""
-    fps = simhash(df, text_col)
-    block = fps.withColumn(
-        "blk", F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    """SimHash near-dup pairs with GUARANTEED recall for hamming <=
+    n_blocks - 1: the fingerprint is split into n_blocks disjoint
+    16-bit blocks and candidates are bucketed on EVERY (block index,
+    block value) — by pigeonhole, a pair differing in <= n_blocks-1
+    bits agrees exactly on at least one block, so it collides in at
+    least one table. (A single-prefix blocking misses any pair whose
+    differing bits fall inside the prefix.) Candidates are verified
+    with the exact hamming distance. Returns (a, b, hamming), eagerly
+    materialized (the fingerprint cache is released on return)."""
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"recall guarantee needs n_blocks > max_hamming "
+            f"(got n_blocks={n_blocks}, max_hamming={max_hamming})"
+        )
+    from linkgraph.plans.superstep import barrier
+
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    fps = simhash(df, text_col).persist()
+    blocked = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk_i"),
+                        F.shiftrightunsigned(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("blk_v"),
+                    )
+                    for bi in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk_i", "b.blk_v")
+    x = blocked.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "blk_i", "blk_v"
     )
-    x = block.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "blk")
-    y = block.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "blk")
-    return (
-        x.join(y, "blk")
+    y = blocked.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "blk_i", "blk_v"
+    )
+    out = barrier(
+        x.join(y, ["blk_i", "blk_v"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()  # a pair may collide in several blocks
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+    fps.unpersist()
+    return out

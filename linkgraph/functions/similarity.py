@@ -5,7 +5,7 @@ approximate variant as the scale path.
 All vector math is JVM-side (zip_with + aggregate fold — a
 deterministic left-to-right sum, matching the DuckDB oracle's
 list_* semantics closely enough for round-6 comparison); the LSH
-variant uses deterministic hyperplanes derived from splitmix64 so
+variant uses deterministic seeded-PCG64 hyperplanes so
 results are reproducible across cluster sizes.
 """
 
@@ -72,8 +72,8 @@ def knn_bruteforce(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic Gaussian-ish hyperplanes (Box-Muller over
-    splitmix64 streams)."""
+    """Deterministic Gaussian hyperplanes (seeded NumPy PCG64 stream —
+    reproducible across runs and cluster sizes)."""
     rng = np.random.default_rng(seed)  # seeded -> deterministic
     return rng.standard_normal((n_planes, dim)).tolist()
 

@@ -6,12 +6,22 @@ moves-count loop test, ``src/louvain.cpp:460`` analog). Labels are
 exact (integer min) — no FP concerns; final label = min vertex id of
 the component, which is also what the union-find oracle asserts.
 
-Scale notes: each superstep is one join + one min-aggregation over
-the (cached, src-partitioned) symmetric edge table; rounds = graph
-diameter. Web graphs have small effective diameter (~6-20 supersteps);
-for pathological high-diameter graphs the alternating large-star /
-small-star algorithm (Kiveris et al.) halves rounds — a later
-optimization hook, not needed for parity.
+Scale design — ONE exchange per superstep on the big path (the same
+shape as operators.pagerank, SURVEY.md §4 X6):
+* the symmetric edge table is hash-partitioned on dst ONCE and
+  persisted; the state stays hash-partitioned on id with the same
+  partition count across barriers (localCheckpoint preserves
+  partitioning), so the edges⋈labels gather join needs NO exchange on
+  either side (shuffle-hash, state as build side);
+* the only per-superstep shuffle is the min-aggregation's groupBy(src)
+  — whose output is src-hash-partitioned, satisfying the update join's
+  distribution, so that join is exchange-free too;
+* below broadcast_threshold vertices the label table is broadcast
+  instead (small graphs / harness runs).
+Rounds = graph diameter. Web graphs have small effective diameter
+(~6-20 supersteps); for pathological high-diameter graphs the
+alternating large-star / small-star algorithm (Kiveris et al.) halves
+rounds — a later optimization hook, not needed for parity.
 """
 
 from __future__ import annotations
@@ -19,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.plans.superstep import SuperstepRunner
+from linkgraph.plans.superstep import SuperstepRunner, barrier
 
 
 def connected_components(
@@ -37,28 +47,47 @@ def connected_components(
     min flows both ways.
     """
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).filter(F.col("src") != F.col("dst")).distinct().persist()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # dst-partitioned once: every superstep's gather join reads this
+    # cache with no fresh exchange on the edge side
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(n_part, "dst")
+        .persist()
+    )
 
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    state = verts.withColumn("component", F.col("id"))
     n = verts.count()
     small = n <= broadcast_threshold
+    if small:
+        state = verts.withColumn("component", F.col("id"))
+    else:
+        # checkpoint the bare id-partitioned vertex set BEFORE aliasing
+        # component := id — checkpointing after the alias remaps the
+        # preserved hash partitioning onto the alias column, and every
+        # id-keyed superstep join would re-exchange the state
+        state = barrier(
+            verts.repartition(n_part, "id"), preserve_partitioning=True
+        ).withColumn("component", F.col("id"))
 
     def step(st: DataFrame, i: int) -> DataFrame:
         labels = st.select("id", "component")
-        if small:
-            labels = F.broadcast(labels)
+        labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
         nbr_min = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        if not small:
+            # nbr_min is hash-partitioned on src by the agg; the state is
+            # partitioned on id — exchange-free shuffle-hash update join
+            nbr_min = nbr_min.hint("shuffle_hash")
         return st.join(nbr_min, st.id == nbr_min.src, "left").select(
             st.id,
             st.component.alias("old_component"),
@@ -79,7 +108,8 @@ def connected_components(
         return changed == 0, float(changed)
 
     runner = runner or SuperstepRunner(
-        spark, run_id=run_id, checkpoint_dir=checkpoint_dir, max_iter=max_iter
+        spark, run_id=run_id, checkpoint_dir=checkpoint_dir, max_iter=max_iter,
+        preserve_partitioning=not small,
     )
     final = runner.run(state, step, converge)
     sym.unpersist()

@@ -89,8 +89,9 @@ def _move_aggregates(
     state is materialized.
     """
     labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
-    if small:
-        labels = F.broadcast(labels)
+    # big path: the edge table is dst-partitioned and persisted by the
+    # caller — shuffle-hash exchanges only the vertex-sized label side
+    labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
 
     # A1: e(v -> C) over non-self-loop edges
     w_vc = (
@@ -398,7 +399,10 @@ def louvain(
     hierarchy_rows: list[DataFrame] = []
     q_final = 0.0
     levels_done = 0
-    cur_edges = e
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # big path: dst-partition the edge table once per level so the
+    # per-round gather join never re-exchanges the edge side
+    cur_edges = e if small else barrier(e.repartition(n_part, "dst"))
     cur_state = state
     cur_frontier = frontier
     for level in range(max_levels):
@@ -449,14 +453,17 @@ def louvain(
         map_d = state_dense.select(F.col("id").alias("md"), F.col("community").alias("cd"))
         if small:
             map_s, map_d = F.broadcast(map_s), F.broadcast(map_d)
-        nxt = barrier(
+        contracted = (
             cur_edges.join(map_s, cur_edges.src == F.col("ms"))
             .join(map_d, cur_edges.dst == F.col("md"))
             .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
             .agg(F.sum("weight").alias("weight"))
         )
+        if not small:
+            contracted = contracted.repartition(n_part, "dst")
+        nxt = barrier(contracted)
         if cur_edges is not e:
-            cur_edges.unpersist()
+            release(cur_edges)
         cur_edges = nxt
         # next-level vertex set = ALL communities (0..n_comms-1), so
         # isolated communities survive the contraction (as in the

@@ -9,11 +9,22 @@ current label whenever it already attains the maximum weight) that
 plays the role of the reference's W3 swap guard against synchronous
 two-cycle oscillation.
 
-Scale notes: per round = one join (state gather, J2) + one two-key
-aggregation + one arg-max aggregation. Hub skew on the (id, label)
-aggregation is absorbed by map-side partial aggregation; the arg-max
-uses ``max_by`` over a struct (single shuffle) instead of a window
-sort.
+Scale design (same substrate as operators.pagerank/components):
+* the edge table is hash-partitioned on dst ONCE and persisted — the
+  per-round gather join never re-exchanges the edge side (shuffle-hash
+  with the id-partitioned state as build side above the broadcast
+  threshold);
+* the vertex's own label enters the aggregation as a zero-weight
+  "self row" unioned with the gather output, so NO second state join
+  is needed for the stability tie-break (w + 0.0 == w exactly, and
+  max(is_cur) marks the current label — semantics identical to the
+  former join formulation);
+* per round = groupBy(vid,label) with map-side combine (the only
+  edge-sized shuffle) + a label-count-sized arg-max groupBy(vid) whose
+  output satisfies the update join's distribution.
+Hub skew on the (id, label) aggregation is absorbed by map-side
+partial aggregation; the arg-max uses ``max_by`` over a struct
+(single shuffle) instead of a window sort.
 """
 
 from __future__ import annotations
@@ -21,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.plans.superstep import SuperstepRunner
+from linkgraph.plans.superstep import SuperstepRunner, barrier
 
 
 def label_propagation(
@@ -36,49 +47,69 @@ def label_propagation(
     """Returns (id:long, label:long). edges: undirected weighted table
     (both directions present, e.g. from graph.build.build_graph);
     self-loops are ignored (P3 self-loop filter)."""
-    e = edges.select(
-        F.col("src").cast("long"),
-        F.col("dst").cast("long"),
-        F.coalesce(F.col("weight"), F.lit(1.0)).cast("double").alias("weight"),
-    ).filter(F.col("src") != F.col("dst")).persist()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = (
+        edges.select(
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+            F.coalesce(F.col("weight"), F.lit(1.0)).cast("double").alias("weight"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(n_part, "dst")
+        .persist()
+    )
 
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    state = verts.withColumn("label", F.col("id"))
     n = verts.count()
     small = n <= broadcast_threshold
+    if small:
+        state = verts.withColumn("label", F.col("id"))
+    else:
+        # checkpoint before aliasing label := id (see components.py —
+        # keeps the preserved hash partitioning on the id column)
+        state = barrier(
+            verts.repartition(n_part, "id"), preserve_partitioning=True
+        ).withColumn("label", F.col("id"))
 
     def step(st: DataFrame, i: int) -> DataFrame:
         labels = st.select(F.col("id").alias("nid"), F.col("label").alias("nbr_label"))
-        if small:
-            labels = F.broadcast(labels)
-        # A1: weight mass per (vertex, neighboring label)
+        labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
+        # A1 gather: (vertex, neighboring label, weight); the vertex's
+        # own label rides along as a zero-weight self row (no cur join)
+        contribs = e.join(labels, e.dst == F.col("nid")).select(
+            F.col("src").alias("vid"),
+            "nbr_label",
+            "weight",
+            F.lit(False).alias("is_cur"),
+        )
+        self_rows = st.select(
+            F.col("id").alias("vid"),
+            F.col("label").alias("nbr_label"),
+            F.lit(0.0).alias("weight"),
+            F.lit(True).alias("is_cur"),
+        )
         by_label = (
-            e.join(labels, e.dst == F.col("nid"))
-            .groupBy(F.col("src").alias("vid"), "nbr_label")
-            .agg(F.sum("weight").alias("w"))
+            contribs.unionByName(self_rows)
+            .groupBy("vid", "nbr_label")
+            .agg(F.sum("weight").alias("w"), F.max("is_cur").alias("is_cur"))
         )
         # W2 + stability: order by (w desc, is_current desc, label asc)
-        cur = st.select(F.col("id").alias("vid"), F.col("label").alias("cur_label"))
-        if small:
-            cur = F.broadcast(cur)
-        best = (
-            by_label.join(cur, "vid")
-            .groupBy("vid")
-            .agg(
-                F.max_by(
-                    "nbr_label",
-                    F.struct(
-                        F.col("w").alias("w"),
-                        (F.col("nbr_label") == F.col("cur_label")).alias("is_cur"),
-                        (-F.col("nbr_label")).alias("neg_label"),
-                    ),
-                ).alias("best_label")
-            )
+        best = by_label.groupBy("vid").agg(
+            F.max_by(
+                "nbr_label",
+                F.struct(
+                    F.col("w").alias("w"),
+                    F.col("is_cur").alias("is_cur"),
+                    (-F.col("nbr_label")).alias("neg_label"),
+                ),
+            ).alias("best_label")
         )
+        if not small:
+            best = best.hint("shuffle_hash")
         return st.join(best, st.id == best.vid, "left").select(
             st.id,
             st.label.alias("old_label"),
@@ -95,7 +126,8 @@ def label_propagation(
         return changed == 0, float(changed)
 
     runner = runner or SuperstepRunner(
-        spark, run_id=run_id, checkpoint_dir=checkpoint_dir, max_iter=max_iter
+        spark, run_id=run_id, checkpoint_dir=checkpoint_dir, max_iter=max_iter,
+        preserve_partitioning=not small,
     )
     final = runner.run(state, step, converge)
     e.unpersist()

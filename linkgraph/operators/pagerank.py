@@ -150,7 +150,8 @@ def pagerank(
         return delta < tol, delta
 
     runner = runner or SuperstepRunner(
-        spark, run_id=run_id, checkpoint_dir=checkpoint_dir, max_iter=max_iter
+        spark, run_id=run_id, checkpoint_dir=checkpoint_dir, max_iter=max_iter,
+        preserve_partitioning=not small,
     )
     final = runner.run(state, step, converge)
     edges_norm.unpersist()

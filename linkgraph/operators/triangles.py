@@ -1,11 +1,14 @@
 """Triangle counting via ordered 3-way self-join (SURVEY.md §2.K).
 
-On the canonical src<dst edge table, a triangle (a<b<c) is counted
-once by joining (a,b)⋈(b,c)⋈(a,c). Catalyst plans the two equi-joins;
-AQE splits skewed build sides. At web scale the standard refinement is
-degree-ordering (orient each edge from lower- to higher-degree
-endpoint) so hub fan-out is bounded — provided via
-``triangle_count(..., degree_order=True)``.
+A triangle is counted once by joining e1⋈e2 on the shared vertex and
+semi-joining the closing edge. The DEFAULT orientation is by DEGREE
+(each edge points from its lower-degree to its higher-degree endpoint,
+ties by id): on a Zipfian web graph the wedge join's fan-out is then
+bounded by O(sqrt(|E|)) per vertex instead of exploding quadratically
+on hubs — the same skew the reference degree-buckets for
+(``modularity_optimisation.cuh:8-9``). ``degree_order=False`` gives
+the plain src<dst orientation (cheaper by two degree joins on
+hub-free graphs; identical counts either way).
 """
 
 from __future__ import annotations
@@ -17,7 +20,7 @@ from linkgraph.graph.build import canonicalize
 
 
 def triangle_count(
-    spark: SparkSession, edges: DataFrame, degree_order: bool = False
+    spark: SparkSession, edges: DataFrame, degree_order: bool = True
 ) -> DataFrame:
     """Global triangle count. Returns a 1-row DataFrame (n_triangles:long).
 

@@ -56,12 +56,22 @@ def _persistent_entries(spark) -> dict[int, object]:
     return out
 
 
-def barrier(df: DataFrame, reset_stats: bool = False) -> DataFrame:
+def barrier(
+    df: DataFrame, reset_stats: bool = False, preserve_partitioning: bool = False
+) -> DataFrame:
     """Materialize + truncate lineage (eager executor-local checkpoint).
 
-    Preserves the frame's physical partitioning (LogicalRDD keeps
-    outputPartitioning), so a state kept hash-partitioned on its join
-    key crosses barriers without re-exchanging.
+    preserve_partitioning=True keeps the frame's physical partitioning
+    across the barrier (LogicalRDD outputPartitioning), so a state kept
+    hash-partitioned on its join key crosses barriers without
+    re-exchanging. Under AQE the checkpoint cannot map the adaptive
+    plan's partitioning back (the scan comes out unpartitioned), so
+    this mode compiles/executes THIS materialization with AQE disabled
+    — the right trade on superstep state plans, whose uniform vertex
+    keys don't need AQE's runtime re-planning, while the exchange-free
+    co-partitioned joins it buys are the big-path win. Mutually
+    exclusive with reset_stats (the stats rewrap discards partitioning
+    by construction).
 
     reset_stats=True additionally rewraps the checkpointed RDD in a
     fresh LogicalRDD with default statistics (losing partitioning
@@ -74,7 +84,16 @@ def barrier(df: DataFrame, reset_stats: bool = False) -> DataFrame:
     """
     spark = df.sparkSession
     before = set(_persistent_entries(spark))
-    out = df.localCheckpoint(eager=True)
+    if preserve_partitioning and not reset_stats:
+        key = "spark.sql.adaptive.enabled"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            out = df.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set(key, old)
+    else:
+        out = df.localCheckpoint(eager=True)
     created = [
         jrdd for rid, jrdd in _persistent_entries(spark).items() if rid not in before
     ]
@@ -119,6 +138,10 @@ class SuperstepRunner:
     checkpoint_dir: str | None = None
     checkpoint_every: int = 10
     max_iter: int = 200
+    # big-path mode: keep the state's hash partitioning across barriers
+    # (see barrier(preserve_partitioning=True)) so co-partitioned
+    # superstep joins stay exchange-free
+    preserve_partitioning: bool = False
     # per-partition lineage (north_rule): record (partition_id, rows)
     # of the state at every durable checkpoint
     partition_lineage: bool = False
@@ -181,10 +204,12 @@ class SuperstepRunner:
             if loaded is not None:
                 state, last = loaded
                 start_step = last + 1
-        state = barrier(state)
+        state = barrier(state, preserve_partitioning=self.preserve_partitioning)
         for i in range(start_step, self.max_iter):
             t0 = time.perf_counter()
-            new_state = barrier(step(state, i))
+            new_state = barrier(
+                step(state, i), preserve_partitioning=self.preserve_partitioning
+            )
             converged, delta = converge(state, new_state, i)
             release(state)
             state = new_state

@@ -53,7 +53,7 @@ def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The same derivation as DuckDB SQL CTEs, for oracle_sql() composition.
 EDGES_CTE = """
   nverts AS (SELECT count(*) AS c FROM customer),
-  raw AS (
+  raw AS MATERIALIZED (
     SELECT CAST(o_custkey AS BIGINT) AS src,
            CAST(o_orderkey % (SELECT c FROM nverts) AS BIGINT) AS dst
     FROM orders
@@ -63,7 +63,7 @@ EDGES_CTE = """
     SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight
     FROM raw GROUP BY src, dst
   ),
-  edges AS (
+  edges AS MATERIALIZED (
     SELECT src, dst, CAST(sum(weight) AS DOUBLE) AS weight FROM (
       SELECT src, dst, weight FROM dedup
       UNION ALL

@@ -44,9 +44,16 @@ def run_incremental(
     min_gain: float = 1e-6,
     max_levels: int = 20,
     checkpoint_dir: str | None = None,
+    screening: bool = True,
 ) -> IncrementalRun:
     """base_edges: symmetric weighted table (build_graph output).
     deltas: (ts:int, op:'add'|'del', src, dst[, weight]).
+
+    screening=False is the GPU driver's -f full-re-evaluation mode
+    (main_louvain_gpu.cpp:95-97,946-953): every phase still warm-starts
+    from the carried partition but evaluates ALL vertices (frontier =
+    whole vertex set, R%% = 100) — the natural A/B baseline for the
+    delta-screening win.
     """
     edges = barrier(base_edges.select("src", "dst", "weight"))
     res = louvain(spark, edges, min_gain=min_gain, max_levels=max_levels)
@@ -67,12 +74,20 @@ def run_incremental(
             if phase == "del":
                 new_edges = barrier(apply_deletions(edges, batch))
                 verts = state.select("id")
-                r = barrier(frontier_del(spark, new_edges, state, batch))
+                r = barrier(
+                    frontier_del(spark, new_edges, state, batch)
+                    if screening
+                    else verts
+                )
             else:
                 new_edges = barrier(apply_additions(edges, batch))
                 state = seed_new_nodes(spark, new_edges, state)
                 verts = state.select("id")
-                r = barrier(frontier_add(spark, new_edges, state, batch))
+                r = barrier(
+                    frontier_add(spark, new_edges, state, batch)
+                    if screening
+                    else verts
+                )
             n = verts.count()
             r_size = r.count()
             if r_size > 0:

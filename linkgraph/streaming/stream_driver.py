@@ -76,10 +76,18 @@ class IncrementalStream:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= self.batches_done:
             return  # replayed batch after restart: idempotent skip
-        for phase in ("del", "add"):
-            batch = batch_df.filter(F.col("op") == phase).select(
-                "src", "dst", "weight"
-            )
+        # One micro-batch may span MANY timesteps (availableNow folds
+        # all pending files into one batch) — reference semantics are
+        # del-phase then add-phase PER TIMESTEP in ts order
+        # (run_incremental's inner loop): an edge added at ts_i and
+        # deleted at ts_j > i within the same batch must not survive.
+        ts_list = [
+            r.ts for r in batch_df.select("ts").distinct().orderBy("ts").collect()
+        ]
+        for ts, phase in ((t, p) for t in ts_list for p in ("del", "add")):
+            batch = batch_df.filter(
+                (F.col("ts") == ts) & (F.col("op") == phase)
+            ).select("src", "dst", "weight")
             if batch.isEmpty():
                 continue
             if phase == "del":

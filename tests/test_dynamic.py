@@ -137,3 +137,20 @@ def test_delta_screening_soundness_vs_full_reeval(spark):
     run = run_incremental(spark, g, toy_deltas_df(spark))
     full = louvain(spark, run.edges)
     assert abs(run.modularity - full.modularity) < 0.05
+
+
+def test_screening_off_full_reeval_mode(spark):
+    """screening=False (GPU driver -f, main_louvain_gpu.cpp:946-953):
+    every phase re-evaluates ALL vertices (r_frac == 1.0) and reaches
+    the same final modularity as the screened run (within swap-guard
+    determinism); the screened run's R%% < 100%% demonstrates the
+    delta-screening win."""
+    g = build_graph(toy_edges_df(spark))
+    screened = run_incremental(spark, g, toy_deltas_df(spark))
+    full = run_incremental(spark, g, toy_deltas_df(spark), screening=False)
+    full_fracs = [m["r_frac"] for m in full.metrics if m["phase"] != "static"]
+    assert all(f == 1.0 for f in full_fracs)
+    scr_fracs = [m["r_frac"] for m in screened.metrics if m["phase"] != "static"]
+    assert any(f < 1.0 for f in scr_fracs)
+    assert abs(screened.modularity - full.modularity) < 0.05
+    assert _edges_dict(screened.edges) == _edges_dict(full.edges)

@@ -184,3 +184,79 @@ def test_dense_ids_empty(spark):
     out = dense_ids(df, "url")
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["url", "id"]
+
+
+def _outer_exchanges(plan: str) -> int:
+    """Count Exchange nodes outside any cached InMemoryRelation subtree
+    (plan strings indent the cached relation after the first marker)."""
+    outer = plan.split("InMemoryRelation")[0]
+    return outer.count("Exchange")
+
+
+def test_cc_superstep_exchange_count(spark):
+    """CC big path mirrors PageRank's one-exchange superstep: the
+    dst-partitioned edge cache is scanned with no fresh Exchange, the
+    gather join and the update join are exchange-free shuffle-hash, and
+    the only shuffle is the min-agg's groupBy(src)."""
+    from linkgraph.plans.superstep import barrier
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 11) % 40) for i in range(300) if i % 40 != (i * 11) % 40],
+        "src long, dst long",
+    )
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n_part, "dst")
+        .persist()
+    )
+    sym.count()
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    st = barrier(
+        verts.repartition(n_part, "id"), preserve_partitioning=True
+    ).withColumn("component", F.col("id"))
+
+    labels = st.select("id", "component").hint("shuffle_hash")
+    nbr_min = (
+        sym.join(labels, sym.dst == labels.id)
+        .groupBy("src")
+        .agg(F.min("component").alias("nbr_min"))
+        .hint("shuffle_hash")
+    )
+    new = st.join(nbr_min, st.id == nbr_min.src, "left").select(
+        st.id, F.least(st.component, F.coalesce(F.col("nbr_min"), st.component)).alias("c")
+    )
+    new.collect()
+    plan = _plan(new)
+    assert "ShuffledHashJoin" in plan
+    outer = plan.split("InMemoryRelation")[0]
+    assert "SortMergeJoin" not in outer
+    assert _outer_exchanges(plan) == 1, plan
+    sym.unpersist()
+
+
+def test_cc_lpa_big_path_labels_match_broadcast_path(spark):
+    """broadcast_threshold=0 (pure shuffle path) must produce the exact
+    labels of the broadcast path."""
+    from linkgraph.graph.build import build_graph
+    from linkgraph.operators.components import connected_components
+    from linkgraph.operators.lpa import label_propagation
+    from tests.fixtures import toy_edges_df
+
+    raw = toy_edges_df(spark)
+    g = build_graph(raw)
+    cc_b = {r.id: r.component for r in connected_components(spark, raw).collect()}
+    cc_s = {
+        r.id: r.component
+        for r in connected_components(spark, raw, broadcast_threshold=0).collect()
+    }
+    assert cc_b == cc_s
+    lpa_b = {r.id: r.label for r in label_propagation(spark, g, max_iter=4).collect()}
+    lpa_s = {
+        r.id: r.label
+        for r in label_propagation(spark, g, max_iter=4, broadcast_threshold=0).collect()
+    }
+    assert lpa_b == lpa_s

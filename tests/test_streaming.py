@@ -56,3 +56,44 @@ def test_streaming_query_end_to_end(spark, tmp_path):
     assert {r.id: r.community for r in inc2.state.collect()} == {
         r.id: r.community for r in inc.state.collect()
     }
+
+
+def test_multi_timestep_batch_matches_batch_loop(spark):
+    """A SINGLE micro-batch spanning both timesteps must apply
+    del-then-add PER TIMESTEP in ts order (availableNow can fold many
+    timesteps into one batch): result must equal the sequential
+    per-timestep loop — in particular an edge added at ts_i and deleted
+    at ts_j > i inside the batch must NOT survive."""
+    from pyspark.sql import functions as F
+    from tests.fixtures import toy_deltas_df
+
+    g = build_graph(toy_edges_df(spark))
+    deltas = toy_deltas_df(spark)
+    # extend the fixture: add (0,20) at ts 2, delete it at ts 3 — if the
+    # batch ignores ts ordering (all dels before all adds), it survives
+    extra = spark.createDataFrame(
+        [
+            (2, "add", 0, 20, 1.0),
+            (2, "add", 20, 21, 1.0),
+            (3, "del", 0, 20, 1.0),
+        ],
+        "ts int, op string, src long, dst long, weight double",
+    )
+    all_deltas = deltas.unionByName(extra)
+
+    inc_one = IncrementalStream(spark, g)
+    inc_one.process_batch(all_deltas, 0)  # ONE batch, 4 timesteps
+
+    inc_seq = IncrementalStream(spark, g)
+    for i, ts in enumerate([0, 1, 2, 3]):
+        inc_seq.process_batch(all_deltas.filter(F.col("ts") == ts), i)
+
+    assert {(r.src, r.dst) for r in inc_one.edges.collect()} == {
+        (r.src, r.dst) for r in inc_seq.edges.collect()
+    }
+    assert not [
+        r for r in inc_one.edges.collect() if (r.src, r.dst) == (0, 20)
+    ], "edge added at ts2 and deleted at ts3 survived a folded batch"
+    assert {r.id: r.community for r in inc_one.state.collect()} == {
+        r.id: r.community for r in inc_seq.state.collect()
+    }

@@ -83,9 +83,37 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
 
 def test_simhash_pairs(spark, docs):
     pairs = {(r.a, r.b): r.hamming for r in
-             simhash_pairs(docs, max_hamming=10).collect()}
+             simhash_pairs(docs, max_hamming=10, n_blocks=16).collect()}
     assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
     assert (0, 5) not in pairs
+
+
+def test_simhash_recall_guarantee(spark):
+    """Pairs at hamming <= n_blocks-1 MUST be found wherever the
+    differing bits fall — including inside the high 16 bits, which the
+    former single-prefix blocking missed. Construct two docs whose
+    fingerprints differ in high bits by brute-force search over token
+    tweaks, then assert the blocked join recovers the pair."""
+    from linkgraph.functions.dedup import simhash as simhash_fn
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    variants = [base] + [base + f" marker{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(variants)], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.simhash for r in simhash_fn(docs).collect()}
+    # find a variant whose distance to base is 1..3 with at least one
+    # differing bit in the TOP 16 bits (the old prefix block)
+    target = None
+    for i in range(1, len(variants)):
+        x = fps[0] ^ fps[i]
+        ham = bin(x & ((1 << 64) - 1)).count("1")
+        if 1 <= ham <= 3 and (x >> 48) & 0xFFFF:
+            target = i
+            break
+    assert target is not None, "fixture: no suitable variant found"
+    pairs = {(r.a, r.b) for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert (0, target) in pairs
 
 
 def test_dedup_on_sf_documents(spark):
