@@ -46,10 +46,20 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--max-iter", type=int, default=20)
         if name == "louvain":
             sp.add_argument("--min-gain", type=float, default=1e-6)
+            # the reference driver's -q seam (main_louvain.cpp:889-899):
+            # 0 = GPU-exact modularity path; 1-9 = generalized loop
+            sp.add_argument("--quality-id", type=int, default=0, choices=range(10))
+            sp.add_argument("--alpha", type=float, default=0.5, help="OwZad (id 2)")
+            sp.add_argument("--kappa-min", type=float, default=0.0, help="ShiMalik (id 8)")
 
     sp = sub.add_parser("incremental", help="per-timestep delta loop")
     common(sp)
     sp.add_argument("--deltas", required=True, help="parquet (ts,op,src,dst,weight)")
+    sp.add_argument(
+        "--no-screening",
+        action="store_true",
+        help="full re-evaluation every phase (the GPU driver's -f mode)",
+    )
 
     args = p.parse_args(argv)
 
@@ -92,12 +102,32 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.output)
     elif args.cmd == "louvain":
-        from linkgraph.operators.louvain import louvain
+        if args.quality_id == 0:
+            from linkgraph.operators.louvain import louvain
 
-        res = louvain(spark, edges, min_gain=args.min_gain)
-        res.assignment.write.mode("overwrite").parquet(f"{args.output}/assignment")
-        res.hierarchy.write.mode("overwrite").parquet(f"{args.output}/hierarchy")
-        print(json.dumps({"modularity": res.modularity, "levels": res.levels}))
+            res = louvain(spark, edges, min_gain=args.min_gain)
+            res.assignment.write.mode("overwrite").parquet(f"{args.output}/assignment")
+            res.hierarchy.write.mode("overwrite").parquet(f"{args.output}/hierarchy")
+            print(json.dumps({"modularity": res.modularity, "levels": res.levels}))
+        else:
+            from linkgraph.operators.louvain_quality import louvain_generalized
+
+            gres = louvain_generalized(
+                spark,
+                edges,
+                quality_id=args.quality_id,
+                params={"alpha": args.alpha, "kappa_min": args.kappa_min},
+            )
+            gres.assignment.write.mode("overwrite").parquet(f"{args.output}/assignment")
+            print(
+                json.dumps(
+                    {
+                        "quality_id": gres.quality_id,
+                        "quality": gres.quality,
+                        "levels": gres.levels,
+                    }
+                )
+            )
     elif args.cmd == "triangles":
         from linkgraph.operators.triangles import triangle_count
 
@@ -106,7 +136,13 @@ def main(argv: list[str] | None = None) -> int:
         from linkgraph.streaming.incremental import run_incremental
 
         deltas = spark.read.parquet(args.deltas)
-        run = run_incremental(spark, edges, deltas, checkpoint_dir=args.checkpoint_dir)
+        run = run_incremental(
+            spark,
+            edges,
+            deltas,
+            checkpoint_dir=args.checkpoint_dir,
+            screening=not args.no_screening,
+        )
         run.state.write.mode("overwrite").parquet(f"{args.output}/state")
         run.edges.write.mode("overwrite").parquet(f"{args.output}/edges")
         print(json.dumps({"modularity": run.modularity, "metrics": run.metrics}))

@@ -402,7 +402,13 @@ def louvain(
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # big path: dst-partition the edge table once per level so the
     # per-round gather join never re-exchanges the edge side
-    cur_edges = e if small else barrier(e.repartition(n_part, "dst"))
+    # (preserve_partitioning: a plain AQE-era checkpoint would lose the
+    # hash(dst) partitioning and the repartition would buy nothing)
+    cur_edges = (
+        e
+        if small
+        else barrier(e.repartition(n_part, "dst"), preserve_partitioning=True)
+    )
     cur_state = state
     cur_frontier = frontier
     for level in range(max_levels):
@@ -461,7 +467,7 @@ def louvain(
         )
         if not small:
             contracted = contracted.repartition(n_part, "dst")
-        nxt = barrier(contracted)
+        nxt = barrier(contracted, preserve_partitioning=not small)
         if cur_edges is not e:
             release(cur_edges)
         cur_edges = nxt

@@ -94,3 +94,43 @@ def test_louvain_frontier_restriction(spark):
     want, _, _ = louvain_oracle(edges, frontier=frontier_ids)
     got = {r.id: r.community for r in res.assignment.collect()}
     assert got == want
+
+
+def test_louvain_empty_graph_guard(spark):
+    """m == 0 (a deletion batch can empty the graph mid-stream): every
+    vertex becomes its own dense community, modularity 0 — no
+    ZeroDivisionError."""
+    from linkgraph.operators.louvain import louvain
+
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    verts = spark.createDataFrame([(7,), (3,), (11,)], "id long")
+    res = louvain(spark, empty, vertices=verts)
+    got = {r.id: r.community for r in res.assignment.collect()}
+    assert got == {3: 0, 7: 1, 11: 2}
+    assert res.modularity == 0.0
+
+
+def test_louvain_warmstart_fallback_no_collision(spark):
+    """Vertices not covered by init_partition must get fresh labels
+    offset past max(init community) — not raw ids that can collide with
+    a dense warm start."""
+    from linkgraph.operators.louvain import louvain
+
+    # path 0-1  and isolated-ish pair 5-6; warm start labels 0/1 cover
+    # only vertices 0,1 — vertex 5's raw id would NOT collide, but
+    # vertex 1 warm-labeled 0 and vertex 0 warm-labeled... construct:
+    # init covers 5,6 with communities 0,1; vertices 0,1 uncovered ->
+    # fallback must not be 0 or 1.
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0), (5, 6, 1.0), (6, 5, 1.0)],
+        "src long, dst long, weight double",
+    )
+    init = spark.createDataFrame([(5, 0), (6, 1)], "id long, community long")
+    res = louvain(spark, edges, init_partition=init, max_levels=1,
+                  max_rounds_per_level=0)
+    # with zero rounds the returned labels reflect the seeded state
+    # densely renumbered: {0,1} fallback labels must be distinct from
+    # the warm labels of 5/6 -> four distinct communities
+    got = {r.id: r.community for r in res.assignment.collect()}
+    assert len(set(got.values())) == 4
+    assert got[5] != got[0] and got[6] != got[1]

@@ -260,3 +260,81 @@ def test_cc_lpa_big_path_labels_match_broadcast_path(spark):
         for r in label_propagation(spark, g, max_iter=4, broadcast_threshold=0).collect()
     }
     assert lpa_b == lpa_s
+
+
+def test_louvain_move_round_edge_side_exchange_saved(spark):
+    """Louvain big path: the dst-partitioned, partitioning-preserving
+    edge checkpoint must remove the per-round edge-table exchange —
+    the move-round plan over it has strictly fewer Exchanges than the
+    same plan over raw edges (self-calibrating assertion)."""
+    from linkgraph.graph.build import build_graph
+    from linkgraph.operators.louvain import _k_table, _move_round
+    from linkgraph.plans.superstep import barrier
+    from tests.fixtures import toy_edges_df
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e_raw = build_graph(toy_edges_df(spark)).select("src", "dst", "weight")
+    e_pre = barrier(e_raw.repartition(n_part, "dst"), preserve_partitioning=True)
+
+    def exchanges(e):
+        verts = e.select(F.col("src").alias("id")).distinct()
+        state = verts.select("id", F.col("id").alias("community"))
+        out = _move_round(e, state, _k_table(e), 18.0, None, False)
+        out.collect()
+        return _plan(out).count("Exchange")
+
+    n_pre, n_raw = exchanges(e_pre), exchanges(e_raw)
+    assert n_pre < n_raw, (n_pre, n_raw)
+
+
+def test_lpa_superstep_exchange_count(spark):
+    """LPA big path: per round, the ONLY shuffles are the two
+    aggregations (groupBy(vid,label) with map-side combine + the
+    label-count-sized argmax groupBy(vid)); the gather join and the
+    update join are exchange-free against the dst-partitioned edge
+    cache and the id-partitioned state."""
+    from linkgraph.plans.superstep import barrier
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 11) % 40, 1.0) for i in range(300) if i % 40 != (i * 11) % 40],
+        "src long, dst long, weight double",
+    )
+    e = edges.repartition(n_part, "dst").persist()
+    e.count()
+    verts = e.select(F.col("src").alias("id")).distinct()
+    st = barrier(
+        verts.repartition(n_part, "id"), preserve_partitioning=True
+    ).withColumn("label", F.col("id"))
+
+    labels = st.select(F.col("id").alias("nid"), F.col("label").alias("nbr_label")).hint(
+        "shuffle_hash"
+    )
+    contribs = e.join(labels, e.dst == F.col("nid")).select(
+        F.col("src").alias("vid"), "nbr_label", "weight", F.lit(False).alias("is_cur")
+    )
+    self_rows = st.select(
+        F.col("id").alias("vid"),
+        F.col("label").alias("nbr_label"),
+        F.lit(0.0).alias("weight"),
+        F.lit(True).alias("is_cur"),
+    )
+    by_label = (
+        contribs.unionByName(self_rows)
+        .groupBy("vid", "nbr_label")
+        .agg(F.sum("weight").alias("w"), F.max("is_cur").alias("is_cur"))
+    )
+    best = by_label.groupBy("vid").agg(
+        F.max_by(
+            "nbr_label",
+            F.struct(F.col("w"), F.col("is_cur"), (-F.col("nbr_label")).alias("n")),
+        ).alias("best_label")
+    ).hint("shuffle_hash")
+    new = st.join(best, st.id == best.vid, "left").select(
+        st.id, F.coalesce(F.col("best_label"), st.label).alias("label")
+    )
+    new.collect()
+    plan = _plan(new)
+    outer = plan.split("InMemoryRelation")[0]
+    assert "SortMergeJoin" not in outer
+    assert _outer_exchanges(plan) <= 2, plan

@@ -42,3 +42,56 @@ def test_triangles_per_vertex(spark):
     assert got[0] == 3
     assert got[4] == 3  # 0-1-4, 0-2-4, 1-2-4
     assert sum(got.values()) == 3 * 8
+
+
+def test_degree_order_bounds_hub_fanout_on_skewed_graph(spark):
+    """100x-scale evidence for the default plan: on a Pareto-hub graph
+    (sources/edgegen), the e1.dst==e2.src wedge join's row count is
+    sum_v in(v)*out(v). Degree-ordering re-orients edges so hubs have
+    tiny out-lists — the wedge count (the join's intermediate size, the
+    thing that explodes quadratically at web scale) must shrink by a
+    large factor while the triangle count is IDENTICAL."""
+    from pyspark.sql import functions as F
+    from linkgraph.graph.build import canonicalize
+    from linkgraph.operators.triangles import triangle_count
+    from linkgraph.sources.edgegen import generate_edges
+
+    raw = generate_edges(spark, 5000, seed=7, base_out=1, max_out=4000, pareto_a=1.02)
+
+    def wedge_count(e):
+        outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("o"))
+        ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("i"))
+        return (
+            outd.join(ind, outd.src == ind.dst)
+            .agg(F.sum(F.col("o") * F.col("i")))
+            .first()[0]
+            or 0
+        )
+
+    canon = canonicalize(raw).filter(F.col("src") != F.col("dst")).select("src", "dst")
+    deg = (
+        canon.select(F.col("src").alias("id"))
+        .unionByName(canon.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    oriented = (
+        canon.join(deg.withColumnRenamed("id", "src").withColumnRenamed("d", "ds"), "src")
+        .join(deg.withColumnRenamed("id", "dst").withColumnRenamed("d", "dd"), "dst")
+        .select(
+            F.when(
+                (F.col("ds") < F.col("dd"))
+                | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+                F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
+            )
+            .otherwise(F.struct(F.col("dst").alias("a"), F.col("src").alias("b")))
+            .alias("e")
+        )
+        .select(F.col("e.a").alias("src"), F.col("e.b").alias("dst"))
+    )
+    w_plain, w_ordered = wedge_count(canon), wedge_count(oriented)
+    assert w_ordered * 3 < w_plain, (w_ordered, w_plain)
+
+    n_default = triangle_count(spark, raw).first()["n_triangles"]
+    n_plain = triangle_count(spark, raw, degree_order=False).first()["n_triangles"]
+    assert n_default == n_plain

@@ -35,20 +35,32 @@ def main() -> None:
     edges = spark.read.parquet(path).persist()
     n_edges = edges.count()
 
-    runner = SuperstepRunner(spark, run_id=f"scale{cores}", max_iter=supersteps)
-    t0 = time.perf_counter()
-    pagerank(
-        spark, edges, tol=0.0, runner=runner, broadcast_threshold=broadcast_threshold
-    ).count()
-    wall = time.perf_counter() - t0
-
-    secs = [m["seconds"] for m in runner.metrics]
-    # steady state = median of the last half (JIT/AQE warmup makes the
-    # first supersteps unrepresentative)
+    # two full runs in ONE JVM: the second is the JIT-warm steady state;
+    # min-of-medians controls for GC/interference spikes (observed 1.5x
+    # run-to-run swings across separate JVMs on this shared box)
     import statistics
 
-    tail = secs[len(secs) // 2 :] if len(secs) > 3 else secs
-    per_step = statistics.median(tail)
+    per_run = []
+    wall = 0.0
+    for rep in range(2):
+        runner = SuperstepRunner(
+            spark,
+            run_id=f"scale{cores}-r{rep}",
+            max_iter=supersteps,
+            # big-path mode: state hash partitioning survives barriers, so
+            # both superstep joins are exchange-free (plans/superstep.py)
+            preserve_partitioning=True,
+        )
+        t0 = time.perf_counter()
+        pagerank(
+            spark, edges, tol=0.0, runner=runner,
+            broadcast_threshold=broadcast_threshold,
+        ).count()
+        wall = time.perf_counter() - t0
+        secs = [m["seconds"] for m in runner.metrics]
+        tail = secs[len(secs) // 2 :] if len(secs) > 3 else secs
+        per_run.append(statistics.median(tail))
+    per_step = min(per_run)
     print(
         json.dumps(
             {
