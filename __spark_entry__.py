@@ -188,6 +188,40 @@ def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_check_symmetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 debug sink over the DIRECTED edge list (which IS asymmetric,
+    so the violation set is non-trivial); empty == symmetric."""
+    from linkgraph.graph.debug import check_symmetry
+    from linkgraph.sources.testdata import directed_edges
+
+    return check_symmetry(directed_edges(spark, sf_dir))
+
+
+def _q_display_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.graph.debug import display_reverse
+
+    return display_reverse(undirected_edges(spark, sf_dir))
+
+
+def _q_dp_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP (id 7) graph_weighting (dp.cpp:70-108) over the symmetric
+    table — weights rounded for float-stable oracle comparison."""
+    from linkgraph.functions.quality import graph_weighting
+
+    out, _ = graph_weighting(undirected_edges(spark, sf_dir), 7)
+    return out.select("src", "dst", F.round("weight", 9).alias("weight"))
+
+
+def _q_condora_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CondorA (id 4) add_selfloops + graph_weighting
+    (condora.cpp:58-104, driver order main_louvain.cpp:1022-1045)."""
+    from linkgraph.functions.quality import graph_weighting
+    from linkgraph.graph.hierarchy import add_selfloops
+
+    out, _ = graph_weighting(add_selfloops(undirected_edges(spark, sf_dir)), 4)
+    return out.select("src", "dst", F.round("weight", 9).alias("weight"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: PageRank to 1e-6 convergence on the sf0.001
     link graph (BASELINE.json primary metric's query)."""
@@ -217,6 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "events_window_agg": _q_events_window_agg,
+        "check_symmetry": _q_check_symmetry,
+        "display_reverse": _q_display_reverse,
+        "dp_reweight": _q_dp_reweight,
+        "condora_reweight": _q_condora_reweight,
     }
 
 
@@ -480,6 +518,39 @@ def oracle_sql() -> dict[str, str]:
         "events_window_agg": """SELECT date_trunc('hour', ts) AS hour, event_type,
               count(*) AS n, ROUND(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2""",
+        "check_symmetry": f"""WITH {EDGES_CTE}
+            SELECT f.src, f.dst, f.weight, r.reverse_weight
+            FROM dedup f
+            LEFT JOIN (SELECT dst AS src, src AS dst, weight AS reverse_weight
+                       FROM dedup) r USING (src, dst)
+            WHERE r.reverse_weight IS NULL OR f.weight <> r.reverse_weight""",
+        "display_reverse": f"""WITH {EDGES_CTE}
+            SELECT dst AS a, src AS b, weight FROM edges WHERE src > dst""",
+        "dp_reweight": f"""WITH {EDGES_CTE},
+            deg AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src)
+            SELECT e.src, e.dst,
+                   round(2.0 * e.weight / (ds.d + dd.d), 9) AS weight
+            FROM edges e
+            JOIN deg ds ON ds.id = e.src
+            JOIN deg dd ON dd.id = e.dst""",
+        "condora_reweight": f"""WITH {EDGES_CTE},
+            verts AS (SELECT DISTINCT src AS id FROM edges),
+            loops AS (SELECT src AS id FROM edges WHERE src = dst),
+            withloops AS MATERIALIZED (
+              SELECT src, dst, weight FROM edges
+              UNION ALL
+              SELECT id AS src, id AS dst, 1.0 AS weight
+              FROM verts WHERE id NOT IN (SELECT id FROM loops)
+            ),
+            deg AS (SELECT src AS id, count(*) AS d,
+                           sum(CASE WHEN src = dst THEN weight ELSE 0.0 END) AS sl
+                    FROM withloops GROUP BY src)
+            SELECT e.src, e.dst,
+                   round(2.0 * (2.0 * e.weight / (ds.d + dd.d))
+                         - (ds.sl / (2.0 * ds.d) + dd.sl / (2.0 * dd.d)), 9) AS weight
+            FROM withloops e
+            JOIN deg ds ON ds.id = e.src
+            JOIN deg dd ON dd.id = e.dst""",
         # minhash_lsh / simhash_pairs / doc_fingerprint / knn_lsh:
         # xxhash64 / hyperplane based -> no DuckDB equivalent; the driver
         # records rows-only checks and pytest covers semantics.

@@ -100,12 +100,22 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    multi_probe: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket (signed random projections), then exact cosine rerank.
     At scale the bucket join replaces the full scan with a
-    1/2^n_planes-selectivity equi-join. Returns the same schema as
-    knn_bruteforce (may contain fewer than k rows per query)."""
+    1/2^n_planes-selectivity equi-join.
+
+    multi_probe=True (default) additionally probes every bucket at
+    hamming distance 1 from the query's bucket (flip each projection
+    bit once) — the standard multi-probe SRP upgrade: near neighbors
+    that land across ONE hyperplane are still found, fixing the
+    single-probe recall cliff as k or n_planes grow, at (n_planes+1)x
+    candidate cost (still ~ (n_planes+1)/2^n_planes of a full scan).
+    Buckets are disjoint, so probes yield no duplicate candidates.
+    Returns the same schema as knn_bruteforce (may contain fewer than
+    k rows per query)."""
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
@@ -116,6 +126,17 @@ def knn_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     ).withColumn("bucket", lsh_bucket_expr(F.col("qv"), planes))
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
     scored = (
         v.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))

