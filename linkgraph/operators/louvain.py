@@ -136,14 +136,17 @@ def _move_aggregates(
 
 def _q_from_aggregates(
     joined: DataFrame, comm: DataFrame, m: float, self_total: float
-) -> float:
+) -> tuple[float, float]:
     """Modularity of the CURRENT state from the round's own aggregates
     (``calculateModularity``, modularity_optimisation.cu:483-521):
     Q = e_own/(2M) - Σ tot²/(4M²). ``joined`` excludes self-loops (the
     neighbour != vertex guard), but calculateToOwnCommunity includes
     them — a self-loop is always intra-community, so their total is a
     per-level constant added back here. One scalar action on persisted
-    frames; no edge-table re-join."""
+    frames; no edge-table re-join. Returns (Q, e_own_total) — the
+    latter equals the NEXT level's self-loop total after contraction
+    (intra-community weight collapses onto the quotient's diagonal),
+    so the level loop never re-scans the edge table for it."""
     row = (
         joined.filter(F.col("c_dst") == F.col("cur"))
         .agg(F.sum("w").alias("eo"))
@@ -152,7 +155,7 @@ def _q_from_aggregates(
     )
     e_own = float(row["eo"] or 0.0) + self_total
     tot_sq = float(row["ts"] or 0.0)
-    return e_own / (2.0 * m) - tot_sq / (4.0 * m * m)
+    return e_own / (2.0 * m) - tot_sq / (4.0 * m * m), e_own
 
 
 def _move_from_aggregates(
@@ -255,17 +258,23 @@ def _one_level(
     small: bool,
     metrics: list[dict],
     level: int,
-) -> tuple[DataFrame, bool, float]:
+    self_total: float | None = None,
+) -> tuple[DataFrame, bool, float, float]:
     k_df = _k_table(e).persist()
     # self-loop weight total: per-level constant (moves never change
-    # which community a self-loop is internal to) — folded into Q
-    self_total = float(
-        e.filter(F.col("src") == F.col("dst")).agg(F.sum("weight")).first()[0] or 0.0
-    )
+    # which community a self-loop is internal to) — folded into Q.
+    # For level > 0 the caller passes the previous level's e_own total
+    # (= the quotient graph's diagonal), saving the edge-table scan.
+    if self_total is None:
+        self_total = float(
+            e.filter(F.col("src") == F.col("dst")).agg(F.sum("weight")).first()[0]
+            or 0.0
+        )
     state = barrier(state, reset_stats=True)
     improved = False
     q_prev: float | None = None
     q_after: float | None = None
+    e_own_final = 0.0
     # Round structure: each iteration FIRST scores the current state
     # from the round's own aggregates (one cheap scalar action on the
     # persisted frames), which is the previous round's q_after — then
@@ -274,7 +283,7 @@ def _one_level(
     # table is joined once per round instead of three times.
     for rnd in range(max_rounds):
         joined, comm = _move_aggregates(e, state, k_df, small)
-        q_cur = _q_from_aggregates(joined, comm, m, self_total)
+        q_cur, e_own_final = _q_from_aggregates(joined, comm, m, self_total)
         if rnd == 0:
             q_prev = q_cur  # Q before any move this level
         else:
@@ -299,7 +308,7 @@ def _one_level(
     if q_after is None:
         # exited via max_rounds: score the final state once
         joined, comm = _move_aggregates(e, state, k_df, small)
-        q_after = _q_from_aggregates(joined, comm, m, self_total)
+        q_after, e_own_final = _q_from_aggregates(joined, comm, m, self_total)
         joined.unpersist()
         comm.unpersist()
         if q_prev is not None and max_rounds > 0:
@@ -310,7 +319,7 @@ def _one_level(
             if gain > 0:
                 improved = True
     k_df.unpersist()
-    return state, improved, q_after
+    return state, improved, q_after, e_own_final
 
 
 def _dense_communities(state: DataFrame) -> DataFrame:
@@ -411,8 +420,12 @@ def louvain(
     )
     cur_state = state
     cur_frontier = frontier
+    # level-0 vertex count; each contraction sets the next level's
+    # vertex count to its community count (no distinct().count() jobs)
+    n_nodes = n
+    next_self: float | None = None
     for level in range(max_levels):
-        cur_state, improved, q_final = _one_level(
+        cur_state, improved, q_final, e_own_final = _one_level(
             spark,
             cur_edges,
             cur_state,
@@ -423,16 +436,18 @@ def louvain(
             small,
             metrics,
             level,
+            self_total=next_self,
         )
         levels_done = level + 1
         if not improved and not force:
             break  # reference breaks BEFORE contraction (gpulouvain.cu:111-117)
         force = False
 
-        # A6: dense renumber by ascending community id
-        dense = _dense_communities(cur_state)
-        if small:
-            dense = F.broadcast(dense)
+        # A6: dense renumber by ascending community id (the dense-id
+        # builder already knows the distinct-community count)
+        dense_raw = _dense_communities(cur_state)
+        n_comms = int(dense_raw._dense_ids_count)
+        dense = F.broadcast(dense_raw) if small else dense_raw
         state_dense = barrier(
             cur_state.join(dense, "community").select("id", F.col("cid").alias("community"))
         )
@@ -443,16 +458,21 @@ def louvain(
                 F.col("community"),
             )
         )
-        # A8/J7: compose original -> current community
+        # A8/J7: compose original -> current community (barriered with
+        # reset stats: a lazy multi-level join chain re-triggers the
+        # Catalyst sizeInBytes blowup and costs more than the job saves)
         orig_map = barrier(
             orig_map.join(state_dense, orig_map.node == state_dense.id).select(
                 "orig", F.col("community").alias("node")
-            )
+            ),
+            reset_stats=True,
         )
-        n_comms = int(state_dense.agg(F.max("community")).first()[0]) + 1
-        n_nodes = cur_state.select("id").distinct().count()
         if n_comms == n_nodes:
             break  # identity contraction: the next level cannot differ
+        n_nodes = n_comms
+        # the quotient graph's self-loop total = this level's final
+        # intra-community weight (already measured by the Q scalar)
+        next_self = e_own_final
 
         # A7: contract to the quotient graph
         map_s = state_dense.select(F.col("id").alias("ms"), F.col("community").alias("cs"))

@@ -291,6 +291,7 @@ def louvain_generalized(
     node_w = verts.select("id", F.lit(1.0).alias("w_u"))
     orig_map = verts.select(F.col("id").alias("orig"), F.col("id").alias("node"))
     levels_done = 0
+    n_nodes = int(n)  # per-level vertex count, updated by contraction
     q_final = 0.0
     for level in range(max_levels):
         state = barrier(state, reset_stats=True)
@@ -348,21 +349,21 @@ def louvain_generalized(
         levels_done = level + 1
         if not moved_any:
             break
-        dense = _dense_communities(state)
-        if small:
-            dense = F.broadcast(dense)
+        dense_raw = _dense_communities(state)
+        n_comms = int(dense_raw._dense_ids_count)
+        dense = F.broadcast(dense_raw) if small else dense_raw
         state_dense = barrier(
             state.join(dense, "community").select("id", F.col("cid").alias("community"))
         )
         orig_map = barrier(
             orig_map.join(state_dense, orig_map.node == state_dense.id).select(
                 "orig", F.col("community").alias("node")
-            )
+            ),
+            reset_stats=True,
         )
-        n_comms = int(state_dense.agg(F.max("community")).first()[0]) + 1
-        n_nodes = state.select("id").distinct().count()
         if n_comms == n_nodes:
             break
+        n_nodes = n_comms
         map_s = state_dense.select(F.col("id").alias("ms"), F.col("community").alias("cs"))
         map_d = state_dense.select(F.col("id").alias("md"), F.col("community").alias("cd"))
         if small:

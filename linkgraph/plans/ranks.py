@@ -69,7 +69,9 @@ def dense_ids(
     if not offsets:
         local.unpersist()
         field = dict(df.dtypes)[col]
-        return spark.createDataFrame([], f"`{col}` {field}, {out_col} long")
+        out = spark.createDataFrame([], f"`{col}` {field}, {out_col} long")
+        out._dense_ids_count = 0  # type: ignore[attr-defined]
+        return out
     off_df = F.broadcast(
         spark.createDataFrame(offsets, schema="_pid int, _off long")
     )
@@ -79,6 +81,9 @@ def dense_ids(
         )
     )
     local.unpersist()
+    # total distinct keys — already known from the offset pass; callers
+    # (Louvain's contraction loop) read it instead of running a count()
+    out._dense_ids_count = running  # type: ignore[attr-defined]
     return out
 
 
