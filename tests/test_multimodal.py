@@ -1,10 +1,20 @@
 from __future__ import annotations
 
+import numpy as np
+
 from linkgraph.sources.multimodal import (
+    audio_feature,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     extract_features,
     generate_media,
+    image_feature,
     resize_thumbnail,
     sample_frames,
+    synth_audio,
+    synth_image,
 )
 
 
@@ -14,26 +24,73 @@ def test_media_generation_and_schema(spark):
     kinds = {r.kind for r in m.select("kind").distinct().collect()}
     assert kinds == {"image", "audio", "video"}
     img = m.filter("kind = 'image'").first()
-    assert img.width == 64 and img.mime == "image/png"
-    assert isinstance(bytes(img.payload), bytes) and len(bytes(img.payload)) == 256
+    assert img.width == 64 and img.mime == "image/x-portable-pixmap"
+    assert bytes(img.payload).startswith(b"P6")
+    aud = m.filter("kind = 'audio'").first()
+    assert bytes(aud.payload).startswith(b"RIFF") and aud.sample_rate == 16000
 
 
-def test_feature_extraction_deterministic(spark):
+def test_ppm_roundtrip_through_spark(spark):
+    """REAL image decode: pixels coming back from the Spark plan must
+    equal the generator's formula exactly."""
+    m = generate_media(spark, 6).filter("kind = 'image'")
+    rows = m.select("media_id", "payload").collect()
+    assert rows
+    for r in rows:
+        arr = decode_ppm(bytes(r.payload))
+        np.testing.assert_array_equal(arr, synth_image(int(r.media_id)))
+
+
+def test_wav_roundtrip():
+    s = synth_audio(7)
+    samples, sr = decode_wav(encode_wav(s, 16000))
+    assert sr == 16000
+    np.testing.assert_array_equal(samples, s)
+
+
+def test_ppm_decoder_handles_comments_and_rejects_garbage():
+    arr = synth_image(1, w=4, h=2)
+    with_comment = b"P6\n# a comment\n4 2\n255\n" + arr.tobytes()
+    np.testing.assert_array_equal(decode_ppm(with_comment), arr)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"\x89PNG....")
+    with pytest.raises(ValueError):
+        decode_wav(b"not a riff")
+
+
+def test_feature_extraction_real_decoders(spark):
     m = generate_media(spark, 20)
-    f1 = {r.media_id: r.feature for r in extract_features(m, out_dim=8).collect()}
-    f2 = {r.media_id: r.feature for r in extract_features(m, out_dim=8).collect()}
-    assert f1 == f2
-    assert all(len(v) == 8 for v in f1.values())
-    assert all(0.0 <= x <= 1.0 for v in f1.values() for x in v)
+    f1 = {r.media_id: r.feature for r in extract_features(m, out_dim=16).collect()}
+    f2 = {r.media_id: r.feature for r in extract_features(m, out_dim=16).collect()}
+    assert f1 == f2  # deterministic
+    assert all(len(v) == 16 for v in f1.values())
+    # image features must match a local decode of the same payload
+    want_img = image_feature(
+        encode_ppm(synth_image(0)), 16
+    )
+    assert f1[0] == list(want_img.astype(np.float32))
+    # audio features: sine at amplitude 12000/32768 has RMS 0.366/sqrt(2) ~ 0.26
+    aud = np.array(f1[1], dtype=np.float32)
+    assert 0.2 < aud[0] < 0.35  # rms
+    want_aud = audio_feature(encode_wav(synth_audio(1), 16000), 16)
+    assert f1[1] == list(want_aud.astype(np.float32))
     # distinct payloads -> distinct features
     assert f1[0] != f1[3]
 
 
-def test_thumbnail_plumbing(spark):
+def test_thumbnail_real_resize(spark):
     m = generate_media(spark, 12)
     t = resize_thumbnail(m, max_px=16).collect()
     assert len(t) == 4  # every 3rd row is an image
-    assert all(r.thumb_w <= 16 and r.thumb_h <= 16 for r in t)
+    for r in t:
+        assert r.thumb_w <= 16 and r.thumb_h <= 16
+        small = decode_ppm(bytes(r.thumb))
+        assert small.shape == (r.thumb_h, r.thumb_w, 3)
+        # stride-resample of the 64x48 source with step 4 -> 16x12
+        mid = int(r.media_id)
+        np.testing.assert_array_equal(small, synth_image(mid)[::4, ::4])
 
 
 def test_frame_sampling(spark):
