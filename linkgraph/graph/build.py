@@ -119,7 +119,8 @@ def url_dictionary(urls: DataFrame, col: str = "url") -> DataFrame:
     """
     from linkgraph.plans.ranks import dense_ids
 
-    return dense_ids(urls, col, out_col="id")
+    mapping, _ = dense_ids(urls, col, out_col="id")
+    return mapping
 
 
 def renumber(edges: DataFrame, mapping: DataFrame) -> DataFrame:

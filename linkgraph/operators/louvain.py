@@ -322,12 +322,12 @@ def _one_level(
     return state, improved, q_after, e_own_final
 
 
-def _dense_communities(state: DataFrame) -> DataFrame:
+def _dense_communities(state: DataFrame) -> tuple[DataFrame, int]:
     """A6: dense renumber by ascending community id (GPU exclusive-scan
     ordering, ``community_aggregation.cu:267-273`` — a PARALLEL scan in
     the reference, and a distributed range-partition + offset scheme
-    here; no single-partition sort). Returns (community, cid),
-    eagerly materialized."""
+    here; no single-partition sort). Returns ((community, cid) eagerly
+    materialized, distinct community count)."""
     return dense_ids(state, "community", out_col="cid")
 
 
@@ -373,7 +373,7 @@ def louvain(
         # remove every edge): every vertex its own dense community,
         # modularity 0 — no division by M anywhere.
         e.unpersist()
-        dense = _dense_communities(verts.select(F.col("id").alias("community")))
+        dense, _ = _dense_communities(verts.select(F.col("id").alias("community")))
         assignment = dense.select(
             F.col("community").alias("id"), F.col("cid").alias("community")
         )
@@ -445,8 +445,7 @@ def louvain(
 
         # A6: dense renumber by ascending community id (the dense-id
         # builder already knows the distinct-community count)
-        dense_raw = _dense_communities(cur_state)
-        n_comms = int(dense_raw._dense_ids_count)
+        dense_raw, n_comms = _dense_communities(cur_state)
         dense = F.broadcast(dense_raw) if small else dense_raw
         state_dense = barrier(
             cur_state.join(dense, "community").select("id", F.col("cid").alias("community"))
@@ -502,7 +501,7 @@ def louvain(
     if not hierarchy_rows:
         # degenerate: no level improved and no warm start — every vertex
         # its own (dense) community
-        dense = _dense_communities(cur_state)
+        dense, _ = _dense_communities(cur_state)
         state_dense = cur_state.join(dense, "community").select(
             "id", F.col("cid").alias("community")
         )

@@ -276,7 +276,7 @@ def louvain_generalized(
     if m2 == 0.0:
         # edgeless graph: every vertex its own dense community
         e.unpersist()
-        dense = _dense_communities(verts.select(F.col("id").alias("community")))
+        dense, _ = _dense_communities(verts.select(F.col("id").alias("community")))
         assignment = dense.select(
             F.col("community").alias("id"), F.col("cid").alias("community")
         )
@@ -349,8 +349,7 @@ def louvain_generalized(
         levels_done = level + 1
         if not moved_any:
             break
-        dense_raw = _dense_communities(state)
-        n_comms = int(dense_raw._dense_ids_count)
+        dense_raw, n_comms = _dense_communities(state)
         dense = F.broadcast(dense_raw) if small else dense_raw
         state_dense = barrier(
             state.join(dense, "community").select("id", F.col("cid").alias("community"))

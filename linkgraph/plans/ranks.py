@@ -37,14 +37,16 @@ def dense_ids(
     col: str,
     out_col: str = "id",
     num_partitions: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Deterministic dense 0-based ids for the distinct non-null values
     of ``df[col]``: id = rank of the key in global sort order.
 
-    Returns an eagerly-materialized (col, out_col:long) DataFrame —
-    materialization pins the sampled range boundaries so the offset
-    table (computed in a separate action) can never drift from the
-    final result.
+    Returns ``(mapping, n)``: an eagerly-materialized
+    (col, out_col:long) DataFrame — materialization pins the sampled
+    range boundaries so the offset table (computed in a separate
+    action) can never drift from the final result — plus the distinct
+    key count, already known from the offset pass (callers such as the
+    Louvain contraction loop read it instead of running a count()).
     """
     spark = df.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -70,8 +72,7 @@ def dense_ids(
         local.unpersist()
         field = dict(df.dtypes)[col]
         out = spark.createDataFrame([], f"`{col}` {field}, {out_col} long")
-        out._dense_ids_count = 0  # type: ignore[attr-defined]
-        return out
+        return out, 0
     off_df = F.broadcast(
         spark.createDataFrame(offsets, schema="_pid int, _off long")
     )
@@ -81,10 +82,7 @@ def dense_ids(
         )
     )
     local.unpersist()
-    # total distinct keys — already known from the offset pass; callers
-    # (Louvain's contraction loop) read it instead of running a count()
-    out._dense_ids_count = running  # type: ignore[attr-defined]
-    return out
+    return out, running
 
 
 def release_dense_ids(df: DataFrame) -> None:

@@ -98,7 +98,8 @@ def seed_new_nodes(
     # ascending-node-id rank without a single-partition window (the
     # batch's new-node set is usually small, but the ingest spine
     # should never contain a SinglePartition exchange on any path)
-    fresh = dense_ids(rest, "id", out_col="rank").select(
+    fresh_ranks, _ = dense_ids(rest, "id", out_col="rank")
+    fresh = fresh_ranks.select(
         "id", (F.col("rank") + F.lit(n_comm)).alias("community")
     )
     return barrier(old.unionByName(adopt).unionByName(fresh.select("id", "community")))

@@ -150,7 +150,8 @@ def test_dense_ids_no_single_partition_exchange(spark):
     state = spark.createDataFrame(
         [(i, i % 13) for i in range(200)], "id long, community long"
     )
-    dense = _dense_communities(state)
+    dense, n_comms = _dense_communities(state)
+    assert n_comms == 13
     assert "SinglePartition" not in _plan(dense)
 
 
@@ -170,19 +171,18 @@ def test_dense_ids_match_global_sort_rank(spark):
     )
     expect = {v: i for i, v in enumerate(sorted(set(vals)))}
     for nparts in (1, 7, 32):
-        got = {
-            r["url"]: r["id"]
-            for r in dense_ids(df, "url", num_partitions=nparts).collect()
-        }
+        mapping, n = dense_ids(df, "url", num_partitions=nparts)
+        got = {r["url"]: r["id"] for r in mapping.collect()}
         assert got == expect, f"nparts={nparts}"
+        assert n == len(expect)
 
 
 def test_dense_ids_empty(spark):
     from linkgraph.plans.ranks import dense_ids
 
     df = spark.createDataFrame([], "url string")
-    out = dense_ids(df, "url")
-    assert out.count() == 0
+    out, n = dense_ids(df, "url")
+    assert out.count() == 0 and n == 0
     assert [f.name for f in out.schema.fields] == ["url", "id"]
 
 
