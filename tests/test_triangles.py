@@ -35,6 +35,30 @@ def test_triangles_random(spark, seed):
     )
 
 
+def test_adaptive_orientation_probe(spark):
+    """degree_order=None probes max degree once: hub-free graphs take
+    the plain src<dst path (no degree joins — the round-2 bench
+    regression), skewed graphs the ordered path; counts identical."""
+    from pyspark.sql import functions as F
+    from linkgraph.graph.build import build_graph, canonicalize
+    from linkgraph.operators.triangles import _max_src_degree, _orient
+
+    df = toy_edges_df(spark)
+    # the probe runs on the raw/symmetric input (canonical src<dst rows
+    # would halve src-side counts)
+    assert _max_src_degree(build_graph(df)) == 4
+    e = canonicalize(df).filter(F.col("src") != F.col("dst")).select("src", "dst")
+    # hub-free -> identity (the frame passes through untouched)
+    assert _orient(e, False) is e
+    assert _orient(e, True) is not e
+    got = triangle_count(spark, df, degree_order=None).first()["n_triangles"]
+    assert got == triangle_count(spark, df, degree_order=True).first()["n_triangles"]
+    # per-vertex variant: same adaptive seam, same totals either way
+    tv_plain = {r.id: r.n_tri for r in triangles_per_vertex(spark, df, degree_order=False).collect()}
+    tv_ord = {r.id: r.n_tri for r in triangles_per_vertex(spark, df, degree_order=True).collect()}
+    assert tv_plain == tv_ord
+
+
 def test_triangles_per_vertex(spark):
     df = toy_edges_df(spark)
     got = {r.id: r.n_tri for r in triangles_per_vertex(spark, df).collect()}
