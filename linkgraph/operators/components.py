@@ -19,9 +19,12 @@ shape as operators.pagerank, SURVEY.md §4 X6):
 * below broadcast_threshold vertices the label table is broadcast
   instead (small graphs / harness runs).
 Rounds = graph diameter. Web graphs have small effective diameter
-(~6-20 supersteps); for pathological high-diameter graphs the
-alternating large-star / small-star algorithm (Kiveris et al.) halves
-rounds — a later optimization hook, not needed for parity.
+(~6-20 supersteps); for pathological high-diameter graphs (long
+chains — the web-scale straggler case) ``algorithm="star"`` switches
+to the alternating large-star / small-star contraction (Kiveris et
+al., "Connected Components in MapReduce and Beyond"), which converges
+in O(log n) rounds regardless of diameter and yields the identical
+min-id labels.
 """
 
 from __future__ import annotations
@@ -29,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.plans.superstep import SuperstepRunner, barrier
+from linkgraph.plans.superstep import SuperstepRunner, barrier, release
 
 
 def connected_components(
@@ -40,12 +43,20 @@ def connected_components(
     checkpoint_dir: str | None = None,
     run_id: str = "cc",
     runner: SuperstepRunner | None = None,
+    algorithm: str = "min-label",
 ) -> DataFrame:
     """Returns (id:long, component:long) on the undirected graph.
 
     edges may be directed rows; symmetry is ensured internally so the
-    min flows both ways.
+    min flows both ways. algorithm: "min-label" (default — one
+    exchange per superstep, rounds = diameter) or "star" (large-star /
+    small-star contraction — O(log n) rounds, for high-diameter
+    graphs; identical labels).
     """
+    if algorithm == "star":
+        return connected_components_star(spark, edges, max_iter=max_iter)
+    if algorithm != "min-label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # dst-partitioned once: every superstep's gather join reads this
@@ -114,3 +125,102 @@ def connected_components(
     final = runner.run(state, step, converge)
     sym.unpersist()
     return final.select("id", "component")
+
+
+def _large_star(l: DataFrame) -> DataFrame:
+    """Large-star round: for each node u, connect every STRICTLY LARGER
+    neighbor to m = min(Γ(u) ∪ {u}). Preserves connectivity; shrinks
+    tall trees geometrically (Kiveris et al. §3)."""
+    sym = l.unionByName(
+        l.select(F.col("src").alias("dst"), F.col("dst").alias("src")).select(
+            "src", "dst"
+        )
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(l: DataFrame) -> DataFrame:
+    """Small-star round: orient edges high->low; for each node u,
+    connect u and all its smaller neighbors to m = min(N(u))."""
+    o = (
+        l.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+    rewired = o.join(mins, "src").select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_edges = mins.select("src", F.col("m").alias("dst"))
+    return (
+        rewired.unionByName(self_edges)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iter: int = 60,
+    metrics: list[dict] | None = None,
+) -> DataFrame:
+    """Alternating large-star / small-star contraction — O(log n)
+    rounds independent of graph diameter (min-label propagation needs
+    diameter rounds: a 4096-chain = 4096 supersteps; the star
+    algorithm converges in ~a dozen). Returns (id, component) with
+    component = min vertex id of the component — byte-identical to the
+    min-label path.
+
+    Convergence: the edge multiset is a fixpoint of small∘large. The
+    check is exact: row counts first (cheap, differs in most rounds),
+    set difference only when counts match.
+    """
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    l = barrier(
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .distinct()
+    )
+    n_edges = l.count()
+    for rnd in range(max_iter):
+        if n_edges == 0:
+            break
+        new = barrier(_small_star(_large_star(l)))
+        n_new = new.count()
+        if metrics is not None:
+            metrics.append({"round": rnd, "edges": n_new})
+        if n_new == n_edges and new.exceptAll(l).isEmpty():
+            release(l)
+            l = new
+            break
+        release(l)
+        l, n_edges = new, n_new
+    # final l is a union of stars rooted at component minima: each node
+    # points at its root (roots/isolated vertices point at themselves)
+    labels = l.groupBy(F.col("src").alias("id")).agg(F.min("dst").alias("component"))
+    out = verts.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    result = barrier(out)
+    release(l)
+    verts.unpersist()
+    return result

@@ -31,3 +31,51 @@ def test_cc_directed_edges_treated_undirected(spark):
     df = spark.createDataFrame([(5, 1, 1.0), (1, 0, 1.0)], "src long, dst long, weight double")
     got = {r.id: r.component for r in connected_components(spark, df).collect()}
     assert got == {0: 0, 1: 0, 5: 0}
+
+
+def test_cc_star_matches_min_label_on_fixtures(spark):
+    """algorithm='star' (large-star/small-star) must produce the exact
+    labels of the default min-label path on every fixture."""
+    g = build_graph(toy_edges_df(spark))
+    base = {r.id: r.component for r in connected_components(spark, g).collect()}
+    star = {
+        r.id: r.component
+        for r in connected_components(spark, g, algorithm="star").collect()
+    }
+    assert star == base
+    for seed in (3, 99):
+        df = spark.createDataFrame(
+            random_edges(80, 60, seed), "src long, dst long, weight double"
+        )
+        got = {
+            r.id: r.component
+            for r in connected_components(spark, df, algorithm="star").collect()
+        }
+        assert got == cc_oracle([(r.src, r.dst, r.weight) for r in df.collect()])
+
+
+def test_cc_star_logarithmic_rounds_on_path_graph(spark):
+    """The web-scale straggler case: a 4096-chain has diameter 4095, so
+    min-label propagation needs ~4095 supersteps; the star contraction
+    must converge in O(log n) rounds with the same (all-zero) labels."""
+    from linkgraph.operators.components import connected_components_star
+
+    n = 4096
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    rounds: list[dict] = []
+    out = connected_components_star(spark, chain, metrics=rounds)
+    got = {r.id: r.component for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert len(rounds) <= 16, rounds  # log2(4096) = 12 (+ fixpoint checks)
+
+
+def test_cc_star_isolated_and_selfloop_vertices(spark):
+    from linkgraph.operators.components import connected_components_star
+
+    df = spark.createDataFrame(
+        [(1, 2), (3, 3)], "src long, dst long"
+    )
+    got = {r.id: r.component for r in connected_components_star(spark, df).collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
