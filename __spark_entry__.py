@@ -346,8 +346,10 @@ def _lpa_sql(k: int) -> str:
 
 def _louvain_move_round1_sql() -> str:
     """Singleton-partition move round: tot_c = k_c, sizes all 1 (so the
-    swap guard reduces to c < v), e_own = 0; same gain expression tree
-    as the Spark operator."""
+    swap guard reduces to c < v), e_own = 0, tot_cur = k_v (so the
+    acceptance constant k_v*(tot_cur - k_v) is exactly 0.0); same
+    scaled-score tree as the Spark operator: S = 2M*w - k_v*k_c, move
+    iff S_best > 0 — exact integer arithmetic on both engines."""
     return f"""WITH {EDGES_CTE},
       k AS (SELECT src AS id, sum(weight) AS k FROM edges GROUP BY src),
       mm AS (SELECT sum(weight)/2.0 AS m FROM edges),
@@ -355,21 +357,19 @@ def _louvain_move_round1_sql() -> str:
                FROM edges WHERE src <> dst GROUP BY src, dst),
       cand AS (
         SELECT w.vid, w.c,
-               w.w / (SELECT m FROM mm)
-               + kv.k * ((kv.k - kv.k) - kc.k)
-                 / (2.0 * (SELECT m FROM mm) * (SELECT m FROM mm)) AS gain
+               2.0 * (SELECT m FROM mm) * w.w - kv.k * kc.k AS s
         FROM w_vc w
         JOIN k kv ON kv.id = w.vid
         JOIN k kc ON kc.id = w.c
         WHERE w.c < w.vid
       ),
       best AS (
-        SELECT vid, c, gain,
-               row_number() OVER (PARTITION BY vid ORDER BY gain DESC, c ASC) AS rn
+        SELECT vid, c, s,
+               row_number() OVER (PARTITION BY vid ORDER BY s DESC, c ASC) AS rn
         FROM cand
       )
     SELECT v.id,
-           CAST(CASE WHEN b.gain - 0.0 / (SELECT m FROM mm) > 0 THEN b.c ELSE v.id END AS BIGINT) AS community
+           CAST(CASE WHEN b.s > 0 THEN b.c ELSE v.id END AS BIGINT) AS community
     FROM (SELECT DISTINCT src AS id FROM edges) v
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.vid = v.id"""
 

@@ -15,12 +15,18 @@ Reference parity (all citations into /root/reference):
 
 * gain formula  — ``computeGain``, src/gpu-louvain/modularity_optimisation.cu:96-102:
   ``gain(v->C) = e(v->C)/M + k_v * ((tot_{C(v)} - k_v) - tot_C) / (2*M*M)``
+  — evaluated here SCALED by 2M² (exact integer arithmetic for
+  integer-valued weights, decision-identical in real arithmetic):
+  candidate score ``S(v->C) = 2M*e(v->C) - k_v*tot_C``
 * candidate set — neighboring communities only, C != C(v), self-loop
   edges excluded from e(v->C) (``neighbour != vertex`` guard, :149-151)
 * swap guard    — ``C < C(v) || size(C) > 1 || size(C(v)) > 1``
   (:154-155) — prevents synchronous singleton-swap livelock
-* selection     — argmax gain, ties -> lowest community id (:157-160)
-* acceptance    — move iff ``bestGain - e(v->C(v)\\v)/M > 0`` (:192-196)
+* selection     — argmax S (= argmax gain: they differ by a
+  per-vertex constant), ties -> lowest community id (:157-160)
+* acceptance    — move iff ``bestGain - e(v->C(v)\\v)/M > 0``
+  (:192-196), scaled: ``S_best + k_v*(tot_{C(v)} - k_v)
+  - 2M*e(v->C(v)\\v) > 0``
 * round loop    — recompute community weights fully each round
   (:339-341, the GPU's restart-safe strategy, SURVEY.md §4 X5);
   continue while per-round modularity gain >= min_gain
@@ -37,10 +43,14 @@ Reference parity (all citations into /root/reference):
 * frontier      — level-0 move evaluation restricted to R
   (``optimiseModularityUsingVertexSubset``; J3 semi-join)
 
-Determinism: all gain inputs (e, k, tot) are sums of edge weights —
-exact in float64 for integer-valued weights — and the gain expression
-is evaluated with the identical operation tree in the NumPy oracle,
-so label equality is exact (SURVEY.md §7 determinism note).
+Determinism: all score inputs (e, k, tot) are sums of edge weights —
+exact in float64 for integer-valued weights — and the scaled score
+``2M*w - k*tot_C`` and acceptance test are then EXACT integer
+arithmetic (no division anywhere in a decision), so every selection,
+tie-break, and acceptance is reproducible regardless of partition
+count or summation order while products stay under 2^53; the NumPy
+oracle evaluates the identical operation tree (SURVEY.md §7
+determinism note).
 """
 
 from __future__ import annotations
@@ -77,78 +87,104 @@ def _k_table(e: DataFrame) -> DataFrame:
     return e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k"))
 
 
-def _move_aggregates(
-    e: DataFrame, state: DataFrame, k_df: DataFrame, small: bool, persist: bool = True
-) -> tuple[DataFrame, DataFrame]:
-    """Build and persist the per-round aggregate tables shared by the
-    modularity scalar AND the move computation — ONE edges⋈labels join
-    per round instead of the former move-join + _modularity double-join.
-
-    Returns (joined, comm), both persisted (unless persist=False for
-    one-shot callers); the caller unpersists after the round's new
-    state is materialized.
-    """
-    labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
-    # big path: the edge table is dst-partitioned and persisted by the
-    # caller — shuffle-hash exchanges only the vertex-sized label side
-    labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
-
-    # A1: e(v -> C) over non-self-loop edges
-    w_vc = (
-        e.filter(F.col("src") != F.col("dst"))
-        .join(labels, e.dst == F.col("nid"))
-        .groupBy(F.col("src").alias("vid"), "c_dst")
-        .agg(F.sum("weight").alias("w"))
+def _with_k(state: DataFrame, k_df: DataFrame) -> DataFrame:
+    """Fold per-vertex k into the state (id, community, k). k is static
+    per level, so carrying it across rounds removes the per-round
+    state⋈k join; isolated vertices get k = 0."""
+    return state.join(k_df, "id", "left").select(
+        "id", "community", F.coalesce("k", F.lit(0.0)).alias("k")
     )
 
-    # A4: community totals and sizes (full recompute per round);
-    # left join so zero-degree (isolated) members still count in csize
-    comm = (
-        state.join(k_df, "id", "left")
-        .groupBy("community")
-        .agg(
-            F.sum(F.coalesce("k", F.lit(0.0))).alias("tot"),
-            F.count(F.lit(1)).alias("csize"),
-        )
+
+def _round_tables(
+    e: DataFrame, state: DataFrame, small: bool, n_part: int, persist: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Build the per-round tables: ``aug`` — one row per (vertex,
+    neighboring community) PLUS one "own row" per vertex (the LPA
+    self-row trick: every vertex's own community is present even with
+    no intra-community neighbor), each row carrying the community's
+    totals — and ``comm`` (community, tot, csize).
+
+    Big-path exchange budget (locked by test_plans): the gather join
+    (dst-partitioned edges ⋈ id-partitioned labels) and the
+    state⋈w_vc join are exchange-free shuffle-hash joins; the ONLY
+    exchanges are (1) the A1 repartition on src — hash(src) satisfies
+    the groupBy(src, c_dst) distribution, so the aggregation runs
+    exchange-free on top and its output stays hash(src) for all
+    downstream per-vertex joins — (2) the community-keyed comm
+    aggregation, and (3) the community-keyed aug⋈comm join (the one
+    legitimately community-partitioned step). state must be
+    (id, community, k), hash(id)-partitioned on the big path.
+    """
+    labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
+    labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
+
+    # A1 gather: e(v -> C) over non-self-loop edges (P3 guard)
+    gather = (
+        e.filter(F.col("src") != F.col("dst"))
+        .join(labels, e.dst == F.col("nid"))
+        .select("src", "c_dst", "weight")
+    )
+    if not small:
+        gather = gather.repartition(n_part, "src")
+    w_vc = gather.groupBy("src", "c_dst").agg(F.sum("weight").alias("w"))
+
+    st = F.broadcast(state) if small else state.hint("shuffle_hash")
+    joined = w_vc.join(st, w_vc.src == st.id).select(
+        F.col("src").alias("vid"),
+        "c_dst",
+        "w",
+        F.col("community").alias("cur"),
+        "k",
+    )
+    own_rows = state.select(
+        F.col("id").alias("vid"),
+        F.col("community").alias("c_dst"),
+        F.lit(0.0).alias("w"),
+        F.col("community").alias("cur"),
+        "k",
+    )
+
+    # A4: community totals and sizes (full recompute per round — the
+    # GPU's restart-safe strategy); isolated members count in csize
+    comm = state.groupBy("community").agg(
+        F.sum("k").alias("tot"), F.count(F.lit(1)).alias("csize")
     )
     if persist:
         comm = comm.persist()
-
-    comm_b = F.broadcast(comm) if small else comm
-    own = (
-        state.join(k_df, "id")
-        .join(
-            comm_b.select(
-                F.col("community").alias("cur"),
-                F.col("tot").alias("tot_cur"),
-                F.col("csize").alias("size_cur"),
-            ),
-            state.community == F.col("cur"),
-        )
-        .select("id", "cur", "k", "tot_cur", "size_cur")
+    comm_j = comm.select(
+        F.col("community").alias("c_dst"),
+        F.col("tot").alias("tot_c"),
+        F.col("csize").alias("size_c"),
     )
+    comm_j = F.broadcast(comm_j) if small else comm_j.hint("shuffle_hash")
 
-    joined = w_vc.join(own, w_vc.vid == own.id)
+    aug = (
+        joined.unionByName(own_rows)
+        .join(comm_j, "c_dst")
+        .withColumn("is_own", F.col("c_dst") == F.col("cur"))
+    )
     if persist:
-        joined = joined.persist()
-    return joined, comm
+        aug = aug.persist()
+    return aug, comm
 
 
 def _q_from_aggregates(
-    joined: DataFrame, comm: DataFrame, m: float, self_total: float
+    aug: DataFrame, comm: DataFrame, m: float, self_total: float
 ) -> tuple[float, float]:
     """Modularity of the CURRENT state from the round's own aggregates
     (``calculateModularity``, modularity_optimisation.cu:483-521):
-    Q = e_own/(2M) - Σ tot²/(4M²). ``joined`` excludes self-loops (the
+    Q = e_own/(2M) - Σ tot²/(4M²). ``aug`` excludes self-loops (the
     neighbour != vertex guard), but calculateToOwnCommunity includes
     them — a self-loop is always intra-community, so their total is a
-    per-level constant added back here. One scalar action on persisted
+    per-level constant added back here. The synthetic own rows carry
+    w = 0.0 and do not perturb the sum. One scalar action on persisted
     frames; no edge-table re-join. Returns (Q, e_own_total) — the
     latter equals the NEXT level's self-loop total after contraction
     (intra-community weight collapses onto the quotient's diagonal),
     so the level loop never re-scans the edge table for it."""
     row = (
-        joined.filter(F.col("c_dst") == F.col("cur"))
+        aug.filter(F.col("is_own"))
         .agg(F.sum("w").alias("eo"))
         .crossJoin(comm.agg(F.sum(F.col("tot") * F.col("tot")).alias("ts")))
         .first()
@@ -158,78 +194,76 @@ def _q_from_aggregates(
     return e_own / (2.0 * m) - tot_sq / (4.0 * m * m), e_own
 
 
-def _move_from_aggregates(
+def _apply_moves(
     state: DataFrame,
-    joined: DataFrame,
-    comm: DataFrame,
+    aug: DataFrame,
     m: float,
     frontier: DataFrame | None,
     small: bool,
 ) -> DataFrame:
-    """One synchronous move round over prebuilt aggregates; returns the
-    new (id, community)."""
-    denom = 2.0 * m * m
-    comm_b = F.broadcast(comm) if small else comm
+    """One synchronous move round over the prebuilt ``aug`` table;
+    returns the new (id, community, k).
 
-    # e(v -> C(v)\v): weight to own community (0 if none)
-    e_own = joined.filter(F.col("c_dst") == F.col("cur")).select(
-        F.col("id").alias("eid"), F.col("w").alias("e_own")
+    Selection/acceptance use the gain SCALED by 2M² — exact integer
+    arithmetic for integer-valued weights (SURVEY.md §7 determinism
+    note), decision-identical to the reference formulas in real
+    arithmetic:
+
+    * candidate score  S(v->C) = 2M·e(v->C) - k_v·tot_C
+      (= 2M²·gain minus the per-vertex constant k_v·(tot_{C(v)}-k_v),
+      so argmax and ties are unchanged — ``computeGain`` :96-102)
+    * W2 argmax: max S, ties -> lowest community id (:157-160)
+    * W3 swap guard (:154-155): size_cur > 1 admits every candidate;
+      otherwise C < C(v) or size_C > 1 — evaluated as TWO filtered
+      max_by aggregates (strict / any) in ONE pass, chosen by the own
+      row's size_cur, because the guard needs the own community's size
+      which lives on a different row of the group
+    * acceptance (:192-196): S_best + k_v·(tot_cur - k_v)
+      - 2M·e(v->C(v)\\v) > 0  (the reference test × 2M²)
+
+    The one big-path exchange here is the argmax groupBy(vid); the W4
+    update join is exchange-free (best is hash(vid) from the groupBy,
+    state hash(id)).
+    """
+    twom = 2.0 * m
+    s_col = (F.lit(twom) * F.col("w") - F.col("k") * F.col("tot_c")).alias("s")
+    is_cand = ~F.col("is_own")
+    strict_ok = is_cand & ((F.col("c_dst") < F.col("cur")) | (F.col("size_c") > 1))
+    val = F.struct(F.col("c_dst").alias("bc"), s_col.alias("bs"))
+    ordr = F.struct(s_col.alias("s"), (-F.col("c_dst")).alias("negc"))
+
+    best = aug.groupBy("vid").agg(
+        F.max_by(val, F.when(strict_ok, ordr)).alias("b_strict"),
+        F.max_by(val, F.when(is_cand, ordr)).alias("b_any"),
+        F.sum(F.when(F.col("is_own"), F.col("w")).otherwise(0.0)).alias("e_own"),
+        F.max(F.when(F.col("is_own"), F.col("tot_c"))).alias("tot_cur"),
+        F.max(F.when(F.col("is_own"), F.col("size_c"))).alias("size_cur"),
     )
-
-    # W1 gain over guarded candidates (P1/W3 swap guard)
-    cands = (
-        joined.filter(F.col("c_dst") != F.col("cur"))
-        .join(
-            comm_b.select(
-                F.col("community").alias("c_dst"),
-                F.col("tot").alias("tot_c"),
-                F.col("csize").alias("size_c"),
-            ),
-            "c_dst",
-        )
-        .filter(
-            (F.col("c_dst") < F.col("cur"))
-            | (F.col("size_c") > 1)
-            | (F.col("size_cur") > 1)
-        )
-        .withColumn(
-            "gain",
-            F.col("w") / F.lit(m)
-            + F.col("k")
-            * ((F.col("tot_cur") - F.col("k")) - F.col("tot_c"))
-            / F.lit(denom),
-        )
-    )
-
-    # W2: argmax gain, ties -> lowest community id
-    best = cands.groupBy(F.col("id").alias("bid")).agg(
-        F.max_by(
-            F.struct(F.col("c_dst").alias("bc"), F.col("gain").alias("bg")),
-            F.struct(F.col("gain"), (-F.col("c_dst")).alias("negc")),
-        ).alias("b")
+    best = best.select(
+        "vid",
+        F.when(F.col("size_cur") > 1, F.col("b_any"))
+        .otherwise(F.col("b_strict"))
+        .alias("b"),
+        "e_own",
+        "tot_cur",
     )
     if frontier is not None:
         best = best.join(
-            frontier.select(F.col("id").alias("bid")), "bid", "left_semi"
+            frontier.select(F.col("id").alias("vid")), "vid", "left_semi"
         )
+    if not small:
+        best = best.hint("shuffle_hash")
 
-    # W4: acceptance test + apply
-    return (
-        state.join(best, state.id == F.col("bid"), "left")
-        .join(e_own, state.id == F.col("eid"), "left")
-        .select(
-            state.id,
-            F.when(
-                F.col("b").isNotNull()
-                & (
-                    F.col("b.bg") - F.coalesce(F.col("e_own"), F.lit(0.0)) / F.lit(m)
-                    > 0.0
-                ),
-                F.col("b.bc"),
-            )
-            .otherwise(state.community)
-            .alias("community"),
-        )
+    accept = F.col("b").isNotNull() & (
+        F.col("b.bs")
+        + state.k * (F.col("tot_cur") - state.k)
+        - F.lit(twom) * F.col("e_own")
+        > 0.0
+    )
+    return state.join(best, state.id == F.col("vid"), "left").select(
+        state.id,
+        F.when(accept, F.col("b.bc")).otherwise(state.community).alias("community"),
+        state.k,
     )
 
 
@@ -240,11 +274,17 @@ def _move_round(
     m: float,
     frontier: DataFrame | None,
     small: bool,
+    n_part: int | None = None,
 ) -> DataFrame:
-    """One synchronous move round (one-shot form: aggregates built
-    inline, not persisted); returns the new (id, community)."""
-    joined, comm = _move_aggregates(e, state, k_df, small, persist=False)
-    return _move_from_aggregates(state, joined, comm, m, frontier, small)
+    """One synchronous move round (one-shot form: aggregate tables
+    built inline, not persisted); state is a bare (id, community).
+    Returns the new (id, community)."""
+    n_part = n_part or int(
+        state.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    st = _with_k(state, k_df)
+    aug, _ = _round_tables(e, st, small, n_part, persist=False)
+    return _apply_moves(st, aug, m, frontier, small).select("id", "community")
 
 
 def _one_level(
@@ -259,8 +299,9 @@ def _one_level(
     metrics: list[dict],
     level: int,
     self_total: float | None = None,
+    identity: bool = False,
 ) -> tuple[DataFrame, bool, float, float]:
-    k_df = _k_table(e).persist()
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # self-loop weight total: per-level constant (moves never change
     # which community a self-loop is internal to) — folded into Q.
     # For level > 0 the caller passes the previous level's e_own total
@@ -270,7 +311,44 @@ def _one_level(
             e.filter(F.col("src") == F.col("dst")).agg(F.sum("weight")).first()[0]
             or 0.0
         )
-    state = barrier(state, reset_stats=True)
+    # fold k into the state once per level; on the big path the state
+    # is hash(id)-partitioned here and KEPT so across every round's
+    # barrier (preserve_partitioning — the CC/LPA pattern), making the
+    # gather and update joins exchange-free. The former reset_stats
+    # barriers (which discard partitioning) are no longer needed on
+    # this path: the per-round aug/comm caches are materialized (by
+    # the Q scalar) before the move plan is planned, so the state's
+    # size estimate grows geometrically in VALUE but only linearly in
+    # digits across rounds — no Catalyst BigInt blowup.
+    #
+    # identity=True marks a singleton start (community := id — cold
+    # start or post-contraction level): the community column is
+    # attached AFTER the checkpoint. A duplicate-alias projection
+    # (id aliased twice) ANYWHERE under the checkpoint makes
+    # localCheckpoint drop the preserved hash(id) partitioning (the
+    # alias-remap trap, plans/superstep.py docstring) — measured: the
+    # whole round re-exchanges the state 3x if this is built naively.
+    if identity:
+        st_k = state.select("id").join(_k_table(e), "id", "left").select(
+            "id", F.coalesce("k", F.lit(0.0)).alias("k")
+        )
+        if small:
+            state = barrier(st_k, reset_stats=True)
+        else:
+            state = barrier(
+                st_k.repartition(n_part, "id"), preserve_partitioning=True
+            )
+        state = state.withColumn("community", F.col("id")).select(
+            "id", "community", "k"
+        )
+    else:
+        st_k = _with_k(state, _k_table(e))
+        if small:
+            state = barrier(st_k, reset_stats=True)
+        else:
+            state = barrier(
+                st_k.repartition(n_part, "id"), preserve_partitioning=True
+            )
     improved = False
     q_prev: float | None = None
     q_after: float | None = None
@@ -280,10 +358,10 @@ def _one_level(
     # persisted frames), which is the previous round's q_after — then
     # applies the move. Executed moves, stop round, and labels are
     # IDENTICAL to the former move-then-_modularity loop; the edge
-    # table is joined once per round instead of three times.
+    # table is joined once per round.
     for rnd in range(max_rounds):
-        joined, comm = _move_aggregates(e, state, k_df, small)
-        q_cur, e_own_final = _q_from_aggregates(joined, comm, m, self_total)
+        aug, comm = _round_tables(e, state, small, n_part)
+        q_cur, e_own_final = _q_from_aggregates(aug, comm, m, self_total)
         if rnd == 0:
             q_prev = q_cur  # Q before any move this level
         else:
@@ -294,22 +372,23 @@ def _one_level(
                 improved = True
             if gain < min_gain:
                 q_after = q_cur
-                joined.unpersist()
+                aug.unpersist()
                 comm.unpersist()
                 break
         new_state = barrier(
-            _move_from_aggregates(state, joined, comm, m, frontier, small),
-            reset_stats=True,
+            _apply_moves(state, aug, m, frontier, small),
+            reset_stats=small,
+            preserve_partitioning=not small,
         )
-        joined.unpersist()
+        aug.unpersist()
         comm.unpersist()
         release(state)
         state = new_state
     if q_after is None:
         # exited via max_rounds: score the final state once
-        joined, comm = _move_aggregates(e, state, k_df, small)
-        q_after, e_own_final = _q_from_aggregates(joined, comm, m, self_total)
-        joined.unpersist()
+        aug, comm = _round_tables(e, state, small, n_part)
+        q_after, e_own_final = _q_from_aggregates(aug, comm, m, self_total)
+        aug.unpersist()
         comm.unpersist()
         if q_prev is not None and max_rounds > 0:
             gain = q_after - q_prev
@@ -318,7 +397,6 @@ def _one_level(
             )
             if gain > 0:
                 improved = True
-    k_df.unpersist()
     return state, improved, q_after, e_own_final
 
 
@@ -398,8 +476,12 @@ def louvain(
             "id",
             F.coalesce("community", F.col("id") + F.lit(offset)).alias("community"),
         )
+        identity = False
     else:
-        state = verts.select("id", F.col("id").alias("community"))
+        # singleton start: community := id is attached INSIDE
+        # _one_level after its checkpoint (the alias-remap trap)
+        state = verts.select("id")
+        identity = True
 
     orig_map = verts.select(F.col("id").alias("orig"), F.col("id").alias("node"))
     # onceMore = initPart: a warm start forces contraction + a second
@@ -437,7 +519,9 @@ def louvain(
             metrics,
             level,
             self_total=next_self,
+            identity=identity,
         )
+        identity = True  # post-contraction levels start from singletons
         levels_done = level + 1
         if not improved and not force:
             break  # reference breaks BEFORE contraction (gpulouvain.cu:111-117)
@@ -492,10 +576,9 @@ def louvain(
         cur_edges = nxt
         # next-level vertex set = ALL communities (0..n_comms-1), so
         # isolated communities survive the contraction (as in the
-        # reference, where the quotient CSR keeps every community id)
-        cur_state = dense.select(
-            F.col("cid").alias("id"), F.col("cid").alias("community")
-        )
+        # reference, where the quotient CSR keeps every community id);
+        # community := id attaches inside _one_level (identity start)
+        cur_state = dense.select(F.col("cid").alias("id"))
         cur_frontier = None  # frontier applies to level 0 only
 
     if not hierarchy_rows:

@@ -32,7 +32,7 @@ def _one_level(edges, nodes, state, m, min_gain, max_rounds, frontier):
     for u, v, w in edges:
         k[u] += w
         adj[u].append((v, w))
-    denom = 2.0 * m * m
+    twom = 2.0 * m
     q_before = _modularity(edges, state, k, m)
     improved = False
     q_after = q_before
@@ -52,20 +52,25 @@ def _one_level(edges, nodes, state, m, min_gain, max_rounds, frontier):
                 if u != v:
                     w_vc[state[u]] += w
             e_own = w_vc.get(cur, 0.0)
-            best_gain, best_c = None, None
+            # scaled score S = 2M*w - k*tot_C (exact for integer
+            # weights) — same operation tree as the Spark operator
+            best_s, best_c = None, None
             for c, w in w_vc.items():
                 if c == cur:
                     continue
                 if not (c < cur or size[c] > 1 or size[cur] > 1):
                     continue
-                gain = w / m + k[v] * ((tot[cur] - k[v]) - tot[c]) / denom
+                s = twom * w - k[v] * tot[c]
                 if (
-                    best_gain is None
-                    or gain > best_gain
-                    or (gain == best_gain and c < best_c)
+                    best_s is None
+                    or s > best_s
+                    or (s == best_s and c < best_c)
                 ):
-                    best_gain, best_c = gain, c
-            if best_gain is not None and best_gain - e_own / m > 0.0:
+                    best_s, best_c = s, c
+            if (
+                best_s is not None
+                and best_s + k[v] * (tot[cur] - k[v]) - twom * e_own > 0.0
+            ):
                 new_state[v] = best_c
         state = new_state
         q_after = _modularity(edges, state, k, m)

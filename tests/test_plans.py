@@ -287,6 +287,98 @@ def test_louvain_move_round_edge_side_exchange_saved(spark):
     assert n_pre < n_raw, (n_pre, n_raw)
 
 
+def test_louvain_big_path_round_exchange_count_locked(spark):
+    """The co-partitioned Louvain round's exchange budget, LOCKED (the
+    CC-style count assertion, on the REAL operator functions, not a
+    reconstruction): with dst-partitioned edges and an id-partitioned
+    (id, community, k) state, one full move round plans EXACTLY 4
+    Exchanges —
+
+      1. the A1 gather repartition on src (edge-sized, inherent),
+      2. the community-totals groupBy(community),
+      3. the community-keyed aug⋈comm join (the one legitimately
+         community-partitioned step),
+      4. the argmax groupBy(vid);
+
+    the gather join, the state⋈w_vc join, and the W4 update join are
+    exchange-free shuffle-hash joins (no SortMergeJoin anywhere)."""
+    from linkgraph.operators.louvain import _apply_moves, _round_tables, _k_table
+    from linkgraph.plans.superstep import barrier
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 11) % 40, 1.0) for i in range(300) if i % 40 != (i * 11) % 40],
+        "src long, dst long, weight double",
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    e = barrier(sym.repartition(n_part, "dst"), preserve_partitioning=True)
+    verts = e.select(F.col("src").alias("id")).distinct()
+    # a GENERAL round state (real community column from a join — the
+    # shape of every round after the first move); the identity start
+    # (community := id) is audited separately below: its alias-aware
+    # PartitioningCollection makes the two community-keyed exchanges
+    # free as well (hash(id) == hash(community) there)
+    init = verts.select("id", (F.col("id") % 5).alias("community"))
+    st = barrier(
+        verts.join(init, "id")
+        .join(_k_table(e), "id", "left")
+        .select("id", "community", F.coalesce("k", F.lit(0.0)).alias("k"))
+        .repartition(n_part, "id"),
+        preserve_partitioning=True,
+    )
+
+    def final_plan(df) -> str:
+        df.collect()
+        return _plan(df).split("== Initial Plan ==")[0]
+
+    aug, _comm = _round_tables(e, st, small=False, n_part=n_part, persist=False)
+    plan = final_plan(_apply_moves(st, aug, 150.0, None, small=False))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan
+    assert plan.count("Exchange") == 4, plan
+
+    # identity start, built the operator's way: checkpoint the bare
+    # (id, k) frame FIRST, attach community := id after (the
+    # alias-remap trap would silently drop the hash(id) partitioning
+    # and re-exchange the state 3x per round — this lock catches that)
+    st_id = barrier(
+        verts.join(_k_table(e), "id", "left")
+        .select("id", F.coalesce("k", F.lit(0.0)).alias("k"))
+        .repartition(n_part, "id"),
+        preserve_partitioning=True,
+    ).withColumn("community", F.col("id")).select("id", "community", "k")
+    aug2, _comm2 = _round_tables(e, st_id, small=False, n_part=n_part, persist=False)
+    plan2 = final_plan(_apply_moves(st_id, aug2, 150.0, None, small=False))
+    assert "SortMergeJoin" not in plan2, plan2
+    assert plan2.count("Exchange") == 3, plan2
+
+
+def test_louvain_big_path_labels_match_broadcast_path(spark):
+    """broadcast_threshold=0 (pure shuffle path) must produce the exact
+    labels, modularity, and level count of the broadcast path — the
+    scaled-integer decision algebra is partition-count-invariant."""
+    from linkgraph.graph.build import build_graph
+    from linkgraph.operators.louvain import louvain
+    from tests.fixtures import random_edges, toy_edges_df
+
+    for df in (
+        toy_edges_df(spark),
+        spark.createDataFrame(
+            random_edges(40, 100, 21, weighted=True), "src long, dst long, weight double"
+        ),
+    ):
+        g = build_graph(df)
+        a = louvain(spark, g)
+        b = louvain(spark, g, broadcast_threshold=0)
+        la = {r.id: r.community for r in a.assignment.collect()}
+        lb = {r.id: r.community for r in b.assignment.collect()}
+        assert la == lb
+        assert a.modularity == b.modularity
+        assert a.levels == b.levels
+
+
 def test_lpa_superstep_exchange_count(spark):
     """LPA big path: per round, the ONLY shuffles are the two
     aggregations (groupBy(vid,label) with map-side combine + the
