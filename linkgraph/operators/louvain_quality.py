@@ -71,42 +71,78 @@ def _gain(qid: int, q: QualityInputs, params: dict) -> F.Column:
     return fn(q)
 
 
-def _per_node_and_comm(
-    e: DataFrame, state: DataFrame, node_w: DataFrame, k_df: DataFrame, small: bool
-) -> tuple[DataFrame, DataFrame]:
-    """per_node: (id, community, k, w_u); comm: (community, tot, w_c,
-    csize, in_c) where in_c sums symmetric intra-community rows
-    (= reference in[c]: 2·intra-pairs + self-loops)."""
-    st_s = state.select(F.col("id").alias("sid"), F.col("community").alias("cs"))
-    st_d = state.select(F.col("id").alias("did"), F.col("community").alias("cd"))
-    if small:
-        st_s, st_d = F.broadcast(st_s), F.broadcast(st_d)
+def _round_core(
+    e: DataFrame,
+    state: DataFrame,
+    node_w: DataFrame,
+    k_df: DataFrame,
+    self_df: DataFrame,
+    small: bool,
+    n_part: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared per-round frames: per_node (id, community, k, w_u,
+    self_w), joined (vid, c_dst, w, cur, k, w_u, self_w) — one row per
+    (vertex, neighboring community) from the round's SINGLE gather —
+    and comm (community, tot, w_c, csize, in_c).
+
+    in_c = Σ_v e(v->C(v)) + Σ member self-loops (= the reference
+    in[c]: every symmetric intra-community row counted once plus
+    self-loops) — derived from the gather output instead of the former
+    second edge double-join, so the edge table is scanned/joined
+    exactly ONCE per round. Big path: e must be dst-partitioned (the
+    per-level checkpoint); the gather join exchanges only the
+    vertex-sized label side, and the A1 aggregation repartitions on
+    src — no per-round edge re-exchange (plan-audited)."""
+    labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
+    labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
+    gather = (
+        e.filter(F.col("src") != F.col("dst"))
+        .join(labels, e.dst == F.col("nid"))
+        .select("src", "c_dst", "weight")
+    )
+    if not small:
+        gather = gather.repartition(n_part, "src")
+    w_vc = gather.groupBy("src", "c_dst").agg(F.sum("weight").alias("w"))
+
     per_node = (
         state.join(k_df, "id", "left")
         .join(node_w, "id", "left")
+        .join(self_df, "id", "left")
         .select(
             "id",
             "community",
             F.coalesce("k", F.lit(0.0)).alias("k"),
             F.coalesce("w_u", F.lit(1.0)).alias("w_u"),
+            F.coalesce("self_w", F.lit(0.0)).alias("self_w"),
         )
     )
-    comm = per_node.groupBy("community").agg(
+    st = F.broadcast(per_node) if small else per_node.hint("shuffle_hash")
+    joined = w_vc.join(st, w_vc.src == st.id).select(
+        F.col("src").alias("vid"),
+        "c_dst",
+        "w",
+        F.col("community").alias("cur"),
+        "k",
+        "w_u",
+        "self_w",
+    )
+    base = per_node.groupBy("community").agg(
         F.sum("k").alias("tot"),
         F.sum("w_u").alias("w_c"),
         F.count(F.lit(1)).alias("csize"),
+        F.sum("self_w").alias("sc"),
     )
-    in_c = (
-        e.join(st_s, e.src == F.col("sid"))
-        .join(st_d, e.dst == F.col("did"))
-        .filter(F.col("cs") == F.col("cd"))
-        .groupBy(F.col("cs").alias("community"))
-        .agg(F.sum("weight").alias("in_c"))
+    inc = (
+        joined.filter(F.col("c_dst") == F.col("cur"))
+        .groupBy(F.col("cur").alias("community"))
+        .agg(F.sum("w").alias("iw"))
     )
-    comm = comm.join(in_c, "community", "left").withColumn(
-        "in_c", F.coalesce("in_c", F.lit(0.0))
+    comm = (
+        base.join(inc, "community", "left")
+        .withColumn("in_c", F.coalesce("iw", F.lit(0.0)) + F.col("sc"))
+        .select("community", "tot", "w_c", "csize", "in_c")
     )
-    return per_node, comm
+    return per_node, joined, comm
 
 
 def _move_round_q(
@@ -121,38 +157,26 @@ def _move_round_q(
     n: float,
     max_w: float,
     small: bool,
+    n_part: int,
 ) -> DataFrame:
-    labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
-    if small:
-        labels = F.broadcast(labels)
-
-    per_node, comm = _per_node_and_comm(e, state, node_w, k_df, small)
+    per_node, joined, comm = _round_core(
+        e, state, node_w, k_df, self_df, small, n_part
+    )
     if small:
         comm = F.broadcast(comm)
 
-    w_vc = (
-        e.filter(F.col("src") != F.col("dst"))
-        .join(labels, e.dst == F.col("nid"))
-        .groupBy(F.col("src").alias("vid"), "c_dst")
-        .agg(F.sum("weight").alias("w"))
+    own = per_node.withColumnRenamed("id", "vid").withColumnRenamed(
+        "community", "cur"
+    ).join(
+        comm.select(
+            F.col("community").alias("cur"),
+            F.col("tot").alias("tot_cur"),
+            F.col("w_c").alias("w_c_cur"),
+            F.col("csize").alias("size_cur"),
+            F.col("in_c").alias("in_cur"),
+        ),
+        "cur",
     )
-    own = (
-        per_node.withColumnRenamed("id", "vid")
-        .withColumnRenamed("community", "cur")
-        .join(self_df.withColumnRenamed("id", "vid"), "vid", "left")
-        .withColumn("self_w", F.coalesce("self_w", F.lit(0.0)))
-        .join(
-            comm.select(
-                F.col("community").alias("cur"),
-                F.col("tot").alias("tot_cur"),
-                F.col("w_c").alias("w_c_cur"),
-                F.col("csize").alias("size_cur"),
-                F.col("in_c").alias("in_cur"),
-            ),
-            "cur",
-        )
-    )
-    joined = w_vc.join(own, "vid")
     e_own = joined.filter(F.col("c_dst") == F.col("cur")).select(
         F.col("vid").alias("eid"), F.col("w").alias("e_own")
     )
@@ -172,8 +196,10 @@ def _move_round_q(
         n=n,
         max_w=max_w,
     )
-    own_gain = with_own.select(
-        "vid", F.greatest(_gain(qid, q_own, params), F.lit(0.0)).alias("own_gain")
+    own_pack = with_own.select(
+        "vid",
+        F.greatest(_gain(qid, q_own, params), F.lit(0.0)).alias("own_gain"),
+        "size_cur",
     )
 
     q_cand = QualityInputs(
@@ -188,34 +214,36 @@ def _move_round_q(
         n=n,
         max_w=max_w,
     )
-    cands = (
-        joined.filter(F.col("c_dst") != F.col("cur"))
-        .join(
-            comm.select(
-                F.col("community").alias("c_dst"),
-                F.col("tot").alias("tot_c"),
-                F.col("w_c").alias("w_cc"),
-                F.col("csize").alias("size_c"),
-                F.col("in_c").alias("in_cc"),
-            ),
-            "c_dst",
-        )
-        .filter(
-            (F.col("c_dst") < F.col("cur"))
-            | (F.col("size_c") > 1)
-            | (F.col("size_cur") > 1)
-        )
-        .withColumn("gain", _gain(qid, q_cand, params))
+    cands = joined.filter(F.col("c_dst") != F.col("cur")).join(
+        comm.select(
+            F.col("community").alias("c_dst"),
+            F.col("tot").alias("tot_c"),
+            F.col("w_c").alias("w_cc"),
+            F.col("csize").alias("size_c"),
+            F.col("in_c").alias("in_cc"),
+        ),
+        "c_dst",
     )
+    gain = _gain(qid, q_cand, params)
+    # W3 swap guard as two filtered argmaxes chosen by the own row's
+    # size_cur (the id-0 pattern — the guard needs the own community's
+    # size, which is not on the candidate row)
+    strict_ok = (F.col("c_dst") < F.col("cur")) | (F.col("size_c") > 1)
+    val = F.struct(F.col("c_dst").alias("bc"), gain.alias("bg"))
+    ordr = F.struct(gain.alias("g"), (-F.col("c_dst")).alias("negc"))
     best = cands.groupBy(F.col("vid").alias("bid")).agg(
-        F.max_by(
-            F.struct(F.col("c_dst").alias("bc"), F.col("gain").alias("bg")),
-            F.struct(F.col("gain"), (-F.col("c_dst")).alias("negc")),
-        ).alias("b")
+        F.max_by(val, F.when(strict_ok, ordr)).alias("b_strict"),
+        F.max_by(val, ordr).alias("b_any"),
     )
     return (
         state.join(best, state.id == F.col("bid"), "left")
-        .join(own_gain, state.id == F.col("vid"), "left")
+        .join(own_pack, state.id == F.col("vid"), "left")
+        .withColumn(
+            "b",
+            F.when(F.col("size_cur") > 1, F.col("b_any")).otherwise(
+                F.col("b_strict")
+            ),
+        )
         .select(
             state.id,
             F.when(
@@ -286,7 +314,14 @@ def louvain_generalized(
         )
 
     kappa_min = params.get("kappa_min", 0.0)
-    cur_edges = e
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # big path: dst-partition the edge table once per level (the id-0
+    # machinery) so no round ever re-exchanges the edge side
+    cur_edges = (
+        e
+        if small
+        else barrier(e.repartition(n_part, "dst"), preserve_partitioning=True)
+    )
     state = verts.select("id", F.col("id").alias("community"))
     node_w = verts.select("id", F.lit(1.0).alias("w_u"))
     orig_map = verts.select(F.col("id").alias("orig"), F.col("id").alias("node"))
@@ -316,7 +351,7 @@ def louvain_generalized(
             new_state = barrier(
                 _move_round_q(
                     cur_edges, state, node_w, k_df, self_df,
-                    quality_id, params, m2, n, max_w, small,
+                    quality_id, params, m2, n, max_w, small, n_part,
                 ),
                 reset_stats=True,
             )
@@ -338,7 +373,9 @@ def louvain_generalized(
             moved_any = True
         # the metric's quality() value at this level's fixpoint — the
         # scalar the reference prints each pass
-        _, comm = _per_node_and_comm(cur_edges, state, node_w, k_df, small)
+        _, _, comm = _round_core(
+            cur_edges, state, node_w, k_df, self_df, small, n_part
+        )
         q_final = quality_value(
             comm, quality_id, m2, n, max_w,
             alpha=params.get("alpha", 0.5), side=side,
@@ -367,12 +404,15 @@ def louvain_generalized(
         map_d = state_dense.select(F.col("id").alias("md"), F.col("community").alias("cd"))
         if small:
             map_s, map_d = F.broadcast(map_s), F.broadcast(map_d)
-        nxt = barrier(
+        contracted = (
             cur_edges.join(map_s, cur_edges.src == F.col("ms"))
             .join(map_d, cur_edges.dst == F.col("md"))
             .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
             .agg(F.sum("weight").alias("weight"))
         )
+        if not small:
+            contracted = contracted.repartition(n_part, "dst")
+        nxt = barrier(contracted, preserve_partitioning=not small)
         node_w = barrier(
             node_w.join(state_dense, "id")
             .groupBy(F.col("community").alias("id"))
@@ -383,6 +423,8 @@ def louvain_generalized(
         cur_edges = nxt
         state = dense.select(F.col("cid").alias("id"), F.col("cid").alias("community"))
 
+    if cur_edges is not e:
+        release(cur_edges)
     e.unpersist()
     assignment = orig_map.select(F.col("orig").alias("id"), F.col("node").alias("community"))
     return GeneralizedLouvainResult(
