@@ -97,7 +97,12 @@ def _with_k(state: DataFrame, k_df: DataFrame) -> DataFrame:
 
 
 def _round_tables(
-    e: DataFrame, state: DataFrame, small: bool, n_part: int, persist: bool = True
+    e: DataFrame,
+    state: DataFrame,
+    small: bool,
+    n_part: int,
+    persist: bool = True,
+    salted: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the per-round tables: ``aug`` — one row per (vertex,
     neighboring community) PLUS one "own row" per vertex (the LPA
@@ -125,9 +130,26 @@ def _round_tables(
         .join(labels, e.dst == F.col("nid"))
         .select("src", "c_dst", "weight")
     )
-    if not small:
-        gather = gather.repartition(n_part, "src")
-    w_vc = gather.groupBy("src", "c_dst").agg(F.sum("weight").alias("w"))
+    if small:
+        w_vc = gather.groupBy("src", "c_dst").agg(F.sum("weight").alias("w"))
+    elif salted:
+        # hub mode (X2): aggregate FIRST — the (src, c_dst) shuffle
+        # spreads a hub's rows across reducers by community and
+        # map-side combine shrinks them — then repartition the
+        # aggregated (much smaller) frame to hash(src) for the
+        # downstream co-partitioned joins
+        w_vc = (
+            gather.groupBy("src", "c_dst")
+            .agg(F.sum("weight").alias("w"))
+            .repartition(n_part, "src")
+        )
+    else:
+        # hub-free: one edge-sized exchange; hash(src) satisfies the
+        # groupBy(src, c_dst) distribution so the aggregation runs
+        # exchange-free on top and output stays hash(src)
+        w_vc = gather.repartition(n_part, "src").groupBy("src", "c_dst").agg(
+            F.sum("weight").alias("w")
+        )
 
     st = F.broadcast(state) if small else state.hint("shuffle_hash")
     joined = w_vc.join(st, w_vc.src == st.id).select(
@@ -300,6 +322,7 @@ def _one_level(
     level: int,
     self_total: float | None = None,
     identity: bool = False,
+    salted: bool = False,
 ) -> tuple[DataFrame, bool, float, float]:
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # self-loop weight total: per-level constant (moves never change
@@ -360,7 +383,7 @@ def _one_level(
     # IDENTICAL to the former move-then-_modularity loop; the edge
     # table is joined once per round.
     for rnd in range(max_rounds):
-        aug, comm = _round_tables(e, state, small, n_part)
+        aug, comm = _round_tables(e, state, small, n_part, salted=salted)
         q_cur, e_own_final = _q_from_aggregates(aug, comm, m, self_total)
         if rnd == 0:
             q_prev = q_cur  # Q before any move this level
@@ -386,7 +409,7 @@ def _one_level(
         state = new_state
     if q_after is None:
         # exited via max_rounds: score the final state once
-        aug, comm = _round_tables(e, state, small, n_part)
+        aug, comm = _round_tables(e, state, small, n_part, salted=salted)
         q_after, e_own_final = _q_from_aggregates(aug, comm, m, self_total)
         aug.unpersist()
         comm.unpersist()
@@ -419,6 +442,8 @@ def louvain(
     frontier: DataFrame | None = None,
     vertices: DataFrame | None = None,
     broadcast_threshold: int = 5_000_000,
+    salt_hubs: bool | None = None,
+    hub_degree_threshold: int = 1_000_000,
 ) -> LouvainResult:
     """Run multi-level Louvain on a symmetric weighted edge table
     (both directions present, self-loops once — graph.build.build_graph
@@ -431,6 +456,10 @@ def louvain(
     vertices: optional (id) — extra vertices to include even when
     isolated (the reference's CSR keeps degree-0 nodes in n2c; edge
     deletions can isolate nodes, which must keep a community).
+    salt_hubs: None (default) probes max degree once (big path only)
+    and switches the A1 aggregation to the hub-safe combine-first
+    shape above ``hub_degree_threshold`` (SURVEY.md §4 X2); labels
+    identical either way.
     """
     e = _normalize(edges).persist()
     total_weight = e.agg(F.sum("weight")).first()[0] or 0.0
@@ -444,6 +473,19 @@ def louvain(
         verts = verts.unionByName(vertices.select(F.col("id").cast("long"))).distinct()
     n = verts.count()
     small = n <= broadcast_threshold
+    salted = False
+    if not small:
+        if salt_hubs is None:
+            max_deg = (
+                e.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .agg(F.max("d"))
+                .first()[0]
+                or 0
+            )
+            salted = int(max_deg) > hub_degree_threshold
+        else:
+            salted = salt_hubs
     metrics: list[dict] = []
 
     if m == 0.0:
@@ -520,6 +562,7 @@ def louvain(
             level,
             self_total=next_self,
             identity=identity,
+            salted=salted,
         )
         identity = True  # post-contraction levels start from singletons
         levels_done = level + 1

@@ -40,13 +40,22 @@ def label_propagation(
     edges: DataFrame,
     max_iter: int = 20,
     broadcast_threshold: int = 5_000_000,
+    salt_hubs: bool | None = None,
+    n_salts: int = 8,
+    hub_degree_threshold: int = 1_000_000,
     checkpoint_dir: str | None = None,
     run_id: str = "lpa",
     runner: SuperstepRunner | None = None,
 ) -> DataFrame:
     """Returns (id:long, label:long). edges: undirected weighted table
     (both directions present, e.g. from graph.build.build_graph);
-    self-loops are ignored (P3 self-loop filter)."""
+    self-loops are ignored (P3 self-loop filter).
+
+    salt_hubs: None (default) probes max degree once per call and
+    turns a salted two-level (vid, label) aggregation on automatically
+    above ``hub_degree_threshold`` (SURVEY.md §4 X2): the salt derives
+    from the neighbor id, so a hub's (vid, popular-label) rows spread
+    over n_salts partial reducers — result exact (sum is associative)."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = (
         edges.select(
@@ -66,6 +75,15 @@ def label_propagation(
     )
     n = verts.count()
     small = n <= broadcast_threshold
+    if salt_hubs is None:
+        max_deg = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d"))
+            .first()[0]
+            or 0
+        )
+        salt_hubs = int(max_deg) > hub_degree_threshold
     if small:
         state = verts.withColumn("label", F.col("id"))
     else:
@@ -85,18 +103,29 @@ def label_propagation(
             "nbr_label",
             "weight",
             F.lit(False).alias("is_cur"),
+            F.pmod(F.xxhash64(F.col("nid")), F.lit(n_salts)).alias("salt"),
         )
         self_rows = st.select(
             F.col("id").alias("vid"),
             F.col("label").alias("nbr_label"),
             F.lit(0.0).alias("weight"),
             F.lit(True).alias("is_cur"),
+            F.lit(0).cast("long").alias("salt"),
         )
-        by_label = (
-            contribs.unionByName(self_rows)
-            .groupBy("vid", "nbr_label")
-            .agg(F.sum("weight").alias("w"), F.max("is_cur").alias("is_cur"))
-        )
+        rows = contribs.unionByName(self_rows)
+        if salt_hubs:
+            # partial per (vid, label, salt) spreads hub keys; final
+            # per (vid, label) — exact, deterministic
+            by_label = (
+                rows.groupBy("vid", "nbr_label", "salt")
+                .agg(F.sum("weight").alias("w"), F.max("is_cur").alias("is_cur"))
+                .groupBy("vid", "nbr_label")
+                .agg(F.sum("w").alias("w"), F.max("is_cur").alias("is_cur"))
+            )
+        else:
+            by_label = rows.groupBy("vid", "nbr_label").agg(
+                F.sum("weight").alias("w"), F.max("is_cur").alias("is_cur")
+            )
         # W2 + stability: order by (w desc, is_current desc, label asc)
         best = by_label.groupBy("vid").agg(
             F.max_by(

@@ -42,8 +42,9 @@ def pagerank(
     tol: float = 1e-6,
     max_iter: int = 100,
     broadcast_threshold: int = 1_000_000,
-    salt_hubs: bool = False,
+    salt_hubs: bool | None = None,
     n_salts: int = 8,
+    hub_degree_threshold: int = 1_000_000,
     checkpoint_dir: str | None = None,
     run_id: str = "pagerank",
     runner: SuperstepRunner | None = None,
@@ -54,6 +55,13 @@ def pagerank(
     out-edges) redistribute their mass uniformly — the standard
     formulation, matched exactly by the NumPy oracle in tests.
     Returns (id:long, score:double).
+
+    salt_hubs: None (default) probes max in-degree once per call (one
+    scan + agg, amortized over the iteration) and turns the salted
+    two-level aggregation on automatically above
+    ``hub_degree_threshold`` — the reference's degree-bucket idea
+    (SURVEY.md §4 X2) as a data-driven default, so a Zipfian in-hub
+    never lands on a single reducer. True/False skips the probe.
     """
     edges = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long"),
@@ -78,6 +86,15 @@ def pagerank(
     n = verts.count()  # also materializes verts
     if n == 0:
         return spark.createDataFrame([], "id long, score double")
+    if salt_hubs is None:
+        max_in = (
+            edges.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d"))
+            .first()[0]
+            or 0
+        )
+        salt_hubs = int(max_in) > hub_degree_threshold
 
     dangling_flag = verts.join(out_w, verts.id == out_w.src, "left").select(
         "id", F.col("out_w").isNull().alias("is_dangling")
@@ -106,14 +123,17 @@ def pagerank(
         # build side — zero exchange since both sides are pre-partitioned
         scores = F.broadcast(scores) if small else scores.hint("shuffle_hash")
         contribs = edges_norm.join(scores, edges_norm.src == scores.id).select(
-            F.col("dst"), (F.col("score") * F.col("p")).alias("contrib")
+            F.col("src"), F.col("dst"), (F.col("score") * F.col("p")).alias("contrib")
         )
         if salt_hubs:
             # two-level agg: partial per (dst, salt), final per dst —
             # the degree-bucket idea from the reference GPU kernels
-            # (SURVEY.md §4 X2) expressed as salted aggregation.
+            # (SURVEY.md §4 X2) expressed as salted aggregation. The
+            # salt derives from the contributing source id, so a hub's
+            # incoming rows spread over n_salts reducers
+            # deterministically (sum is associative: result exact).
             salted = contribs.withColumn(
-                "salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+                "salt", F.pmod(F.xxhash64("src"), F.lit(n_salts))
             )
             incoming = (
                 salted.groupBy("dst", "salt")
