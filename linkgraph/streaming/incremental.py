@@ -14,6 +14,7 @@ metrics incl. the headline delta-screening win, R%%
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,54 @@ class IncrementalRun:
     edges: DataFrame  # final graph version
     modularity: float
     metrics: list[dict] = field(default_factory=list)
+
+
+def _persist_metrics(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    phase_row: dict,
+    louvain_metrics: list[dict],
+) -> None:
+    """Durable per-phase metrics (north rule: convergence/delta metrics
+    persisted — the reference prints R%% and per-pass Q to stdout,
+    main_louvain.cpp:1348,1195; we append them to parquet tables under
+    the checkpoint dir, written after EVERY phase so a killed run
+    keeps its history):
+
+    * ``incremental_metrics``: one row per phase incl. the
+      delta-screening win r_frac (R%%);
+    * ``louvain_rounds``: the phase's Louvain per-round Q/gain trail.
+    """
+    spark.createDataFrame(
+        [
+            (
+                int(phase_row["ts"]),
+                str(phase_row["phase"]),
+                int(phase_row["r_size"]),
+                float(phase_row["r_frac"]),
+                float(phase_row["q"]),
+            )
+        ],
+        schema="ts int, phase string, r_size long, r_frac double, q double",
+    ).write.mode("append").parquet(
+        os.path.join(checkpoint_dir, "incremental_metrics")
+    )
+    if louvain_metrics:
+        spark.createDataFrame(
+            [
+                (
+                    int(phase_row["ts"]),
+                    str(phase_row["phase"]),
+                    int(m["level"]),
+                    int(m["round"]),
+                    float(m["q"]),
+                    float(m["gain"]),
+                )
+                for m in louvain_metrics
+                if "round" in m
+            ],
+            schema="ts int, phase string, level int, round int, q double, gain double",
+        ).write.mode("append").parquet(os.path.join(checkpoint_dir, "louvain_rounds"))
 
 
 def run_incremental(
@@ -62,6 +111,8 @@ def run_incremental(
     metrics: list[dict] = [
         {"ts": -1, "phase": "static", "r_size": -1, "r_frac": 1.0, "q": q}
     ]
+    if checkpoint_dir:
+        _persist_metrics(spark, checkpoint_dir, metrics[0], res.metrics)
 
     ts_list = [r.ts for r in deltas.select("ts").distinct().orderBy("ts").collect()]
     for ts in ts_list:
@@ -90,6 +141,7 @@ def run_incremental(
                 )
             n = verts.count()
             r_size = r.count()
+            phase_louvain: list[dict] = []
             if r_size > 0:
                 res = louvain(
                     spark,
@@ -102,6 +154,7 @@ def run_incremental(
                 )
                 state = barrier(res.assignment)
                 q = res.modularity
+                phase_louvain = res.metrics
             edges = new_edges
             metrics.append(
                 {
@@ -112,4 +165,6 @@ def run_incremental(
                     "q": q,
                 }
             )
+            if checkpoint_dir:
+                _persist_metrics(spark, checkpoint_dir, metrics[-1], phase_louvain)
     return IncrementalRun(state=state, edges=edges, modularity=q, metrics=metrics)

@@ -355,6 +355,52 @@ def test_louvain_big_path_round_exchange_count_locked(spark):
     assert plan2.count("Exchange") == 3, plan2
 
 
+def test_louvain_generalized_big_path_no_edge_exchange(spark):
+    """louvain_generalized round over dst-partitioned edges: the edge
+    table is joined exactly once (the gather) with no re-exchange —
+    no dst-keyed Exchange anywhere, and the only explicit repartition
+    is the A1 hash(src). Over RAW edges the same round must exchange
+    the edge side on dst (self-calibrating contrast). The former
+    second edge double-join (in_c) is structurally gone."""
+    from linkgraph.operators.louvain import _k_table
+    from linkgraph.operators.louvain_quality import _move_round_q
+    from linkgraph.plans.superstep import barrier
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 11) % 40, 1.0) for i in range(300) if i % 40 != (i * 11) % 40],
+        "src long, dst long, weight double",
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+
+    def round_plan(e):
+        verts = e.select(F.col("src").alias("id")).distinct()
+        state = verts.select("id", F.col("id").alias("community"))
+        node_w = verts.select("id", F.lit(1.0).alias("w_u"))
+        self_df = (
+            e.filter(F.col("src") == F.col("dst"))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("weight").alias("self_w"))
+        )
+        out = _move_round_q(
+            e, state, node_w, _k_table(e), self_df,
+            0, {}, 300.0, 40.0, 1.0, False, n_part,
+        )
+        out.collect()
+        return _plan(out).split("== Initial Plan ==")[0]
+
+    pre = round_plan(
+        barrier(sym.repartition(n_part, "dst"), preserve_partitioning=True)
+    )
+    assert "Exchange hashpartitioning(dst" not in pre, pre
+    assert pre.count("REPARTITION_BY_NUM") == 1, pre  # the A1 hash(src)
+
+    raw = round_plan(sym)
+    assert "Exchange hashpartitioning(dst" in raw, raw
+
+
 def test_louvain_big_path_labels_match_broadcast_path(spark):
     """broadcast_threshold=0 (pure shuffle path) must produce the exact
     labels, modularity, and level count of the broadcast path — the

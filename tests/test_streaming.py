@@ -97,3 +97,35 @@ def test_multi_timestep_batch_matches_batch_loop(spark):
     assert {r.id: r.community for r in inc_one.state.collect()} == {
         r.id: r.community for r in inc_seq.state.collect()
     }
+
+
+def test_incremental_metrics_persisted(spark, tmp_path):
+    """North rule: convergence/delta metrics persisted durably — a run
+    with checkpoint_dir must leave readable parquet metrics tables
+    whose phase rows (incl. r_frac, the reference's headline R%) match
+    the in-memory metrics list, plus a Louvain per-round Q/gain trail."""
+    from linkgraph.streaming.incremental import run_incremental
+    from tests.fixtures import toy_deltas_df
+
+    g = build_graph(toy_edges_df(spark))
+    ckpt = str(tmp_path / "inc_ckpt")
+    run = run_incremental(spark, g, toy_deltas_df(spark), checkpoint_dir=ckpt)
+
+    got = {
+        (r.ts, r.phase): (r.r_size, r.r_frac, r.q)
+        for r in spark.read.parquet(f"{ckpt}/incremental_metrics").collect()
+    }
+    want = {
+        (m["ts"], m["phase"]): (m["r_size"], m["r_frac"], m["q"])
+        for m in run.metrics
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0]
+        assert abs(got[key][1] - want[key][1]) < 1e-12
+        assert abs(got[key][2] - want[key][2]) < 1e-12
+
+    rounds = spark.read.parquet(f"{ckpt}/louvain_rounds").collect()
+    assert len(rounds) > 0
+    # the static phase's trail is present and carries finite Q values
+    assert any(r.ts == -1 and r.phase == "static" for r in rounds)
