@@ -162,6 +162,39 @@ def write_adjacency(edges: DataFrame, path: str, num_buckets: int = 32) -> None:
     )
 
 
+def write_adjacency_table(
+    edges: DataFrame, table: str, path: str, num_buckets: int = 32
+) -> None:
+    """K1 bucketed-layout sink with CATALOG-KNOWN bucketing: same
+    physical layout as ``write_adjacency`` (src-hashed files, sorted
+    within), but registered via ``bucketBy``, so every later read
+    exposes HashPartitioning(src) to the planner — src-keyed
+    groupBy/joins over the table plan with NO initial exchange (the
+    per-operator one-time repartition disappears; plan-audited).
+
+    The session catalog here is in-memory, so the bucketing spec lives
+    for the session; at scale the same call against a real metastore /
+    Iceberg catalog makes the layout durable. One file per bucket via
+    the pre-repartition (avoids the many-small-files-per-bucket trap).
+    """
+    (
+        _as_edges(edges)
+        .repartition(num_buckets, "src")
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, "src")
+        .sortBy("src", "dst")
+        .saveAsTable(table)
+    )
+
+
+def read_adjacency_table(spark, table: str) -> DataFrame:
+    """Read the K1 bucketed layout with its bucketing spec attached
+    (``spark.table``, not ``read.parquet`` — a plain parquet read of
+    the same files loses the partitioning metadata)."""
+    return spark.table(table)
+
+
 def build_graph(raw_edges: DataFrame, weighted: bool = True) -> DataFrame:
     """Full ingest chain: symmetrize -> clean. Returns the canonical
     undirected weighted edge table used by all community queries."""

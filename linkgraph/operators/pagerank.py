@@ -45,6 +45,7 @@ def pagerank(
     salt_hubs: bool | None = None,
     n_salts: int = 8,
     hub_degree_threshold: int = 1_000_000,
+    pre_partitioned: bool = False,
     checkpoint_dir: str | None = None,
     run_id: str = "pagerank",
     runner: SuperstepRunner | None = None,
@@ -62,6 +63,13 @@ def pagerank(
     ``hub_degree_threshold`` — the reference's degree-bucket idea
     (SURVEY.md §4 X2) as a data-driven default, so a Zipfian in-hub
     never lands on a single reducer. True/False skips the probe.
+
+    pre_partitioned=True: the caller guarantees ``edges`` is already
+    hash(src)-partitioned with the session's shuffle partition count —
+    e.g. the K1 bucketed layout read via
+    ``graph.build.read_adjacency_table`` — so the one-time
+    edges_norm repartition is skipped (zero initial exchange;
+    plan-audited).
     """
     edges = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long"),
@@ -77,12 +85,12 @@ def pagerank(
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # normalized transition weights — computed once, hash-partitioned on
     # src (CSR-style layout), reused by every superstep with no exchange
-    edges_norm = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("p"))
-        .repartition(n_part, "src")
-        .persist()
+    edges_norm = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
     )
+    if not pre_partitioned:
+        edges_norm = edges_norm.repartition(n_part, "src")
+    edges_norm = edges_norm.persist()
     n = verts.count()  # also materializes verts
     if n == 0:
         return spark.createDataFrame([], "id long, score double")
