@@ -42,6 +42,14 @@ def main(argv: list[str] | None = None) -> int:
             sp.add_argument("--tol", type=float, default=1e-6)
             sp.add_argument("--damping", type=float, default=0.85)
             sp.add_argument("--max-iter", type=int, default=100)
+        if name == "cc":
+            sp.add_argument(
+                "--algorithm",
+                choices=["min-label", "star"],
+                default="min-label",
+                help="star = large-star/small-star contraction (O(log n) "
+                "rounds — high-diameter graphs)",
+            )
         if name == "lpa":
             sp.add_argument("--max-iter", type=int, default=20)
         if name == "louvain":
@@ -94,7 +102,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "cc":
         from linkgraph.operators.components import connected_components
 
-        connected_components(spark, edges).write.mode("overwrite").parquet(args.output)
+        connected_components(spark, edges, algorithm=args.algorithm).write.mode(
+            "overwrite"
+        ).parquet(args.output)
     elif args.cmd == "lpa":
         from linkgraph.operators.lpa import label_propagation
 
@@ -108,6 +118,16 @@ def main(argv: list[str] | None = None) -> int:
             res = louvain(spark, edges, min_gain=args.min_gain)
             res.assignment.write.mode("overwrite").parquet(f"{args.output}/assignment")
             res.hierarchy.write.mode("overwrite").parquet(f"{args.output}/hierarchy")
+            if args.checkpoint_dir and res.metrics:
+                # north rule: convergence metrics persisted durably
+                spark.createDataFrame(
+                    [
+                        (int(m["level"]), int(m["round"]), float(m["q"]), float(m["gain"]))
+                        for m in res.metrics
+                        if "round" in m
+                    ],
+                    schema="level int, round int, q double, gain double",
+                ).write.mode("append").parquet(f"{args.checkpoint_dir}/louvain_rounds")
             print(json.dumps({"modularity": res.modularity, "levels": res.levels}))
         else:
             from linkgraph.operators.louvain_quality import louvain_generalized

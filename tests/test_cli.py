@@ -50,3 +50,26 @@ def test_cli_louvain(spark, tmp_path, capsys):
     meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert meta["levels"] >= 1 and 0 < meta["modularity"] <= 1
     assert spark.read.parquet(str(tmp_path / "lv" / "assignment")).count() == 12
+
+
+def test_cli_cc_star_and_louvain_metrics(spark, tmp_path, capsys):
+    g = build_graph(toy_edges_df(spark))
+    edges_path = str(tmp_path / "edges3")
+    g.write.parquet(edges_path)
+
+    rc = main(
+        ["cc", "--edges", edges_path, "--output", str(tmp_path / "cc"),
+         "--algorithm", "star"]
+    )
+    assert rc == 0
+    got = {r.id: r.component for r in spark.read.parquet(str(tmp_path / "cc")).collect()}
+    assert got[7] == 0 and got[13] == 10
+
+    rc = main(
+        ["louvain", "--edges", edges_path, "--output", str(tmp_path / "lv2"),
+         "--checkpoint-dir", str(tmp_path / "ck2")]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rounds = spark.read.parquet(str(tmp_path / "ck2" / "louvain_rounds"))
+    assert rounds.count() > 0
