@@ -336,13 +336,13 @@ def _one_level(
         )
     # fold k into the state once per level; on the big path the state
     # is hash(id)-partitioned here and KEPT so across every round's
-    # barrier (preserve_partitioning — the CC/LPA pattern), making the
-    # gather and update joins exchange-free. The former reset_stats
-    # barriers (which discard partitioning) are no longer needed on
-    # this path: the per-round aug/comm caches are materialized (by
-    # the Q scalar) before the move plan is planned, so the state's
-    # size estimate grows geometrically in VALUE but only linearly in
-    # digits across rounds — no Catalyst BigInt blowup.
+    # barrier (preserve_partitioning + reset_stats — the combined
+    # LogicalRDD-rebuild mode), making the gather and update joins
+    # exchange-free. The stats reset is NOT optional: with inherited
+    # originStats the contraction's two inner joins square the state
+    # estimate into the next level's edge estimate (x3 digit growth
+    # per level) until Catalyst burns minutes in BigInt products
+    # (measured: level 5+ rounds went 3s -> 33s -> 106s before this).
     #
     # identity=True marks a singleton start (community := id — cold
     # start or post-contraction level): the community column is
@@ -359,7 +359,9 @@ def _one_level(
             state = barrier(st_k, reset_stats=True)
         else:
             state = barrier(
-                st_k.repartition(n_part, "id"), preserve_partitioning=True
+                st_k.repartition(n_part, "id"),
+                reset_stats=True,
+                preserve_partitioning=True,
             )
         state = state.withColumn("community", F.col("id")).select(
             "id", "community", "k"
@@ -370,7 +372,9 @@ def _one_level(
             state = barrier(st_k, reset_stats=True)
         else:
             state = barrier(
-                st_k.repartition(n_part, "id"), preserve_partitioning=True
+                st_k.repartition(n_part, "id"),
+                reset_stats=True,
+                preserve_partitioning=True,
             )
     improved = False
     q_prev: float | None = None
@@ -400,7 +404,7 @@ def _one_level(
                 break
         new_state = barrier(
             _apply_moves(state, aug, m, frontier, small),
-            reset_stats=small,
+            reset_stats=True,
             preserve_partitioning=not small,
         )
         aug.unpersist()
@@ -540,7 +544,11 @@ def louvain(
     cur_edges = (
         e
         if small
-        else barrier(e.repartition(n_part, "dst"), preserve_partitioning=True)
+        else barrier(
+            e.repartition(n_part, "dst"),
+            reset_stats=True,
+            preserve_partitioning=True,
+        )
     )
     cur_state = state
     cur_frontier = frontier
@@ -613,7 +621,11 @@ def louvain(
         )
         if not small:
             contracted = contracted.repartition(n_part, "dst")
-        nxt = barrier(contracted, preserve_partitioning=not small)
+        nxt = barrier(
+            contracted,
+            reset_stats=not small,
+            preserve_partitioning=not small,
+        )
         if cur_edges is not e:
             release(cur_edges)
         cur_edges = nxt

@@ -320,7 +320,11 @@ def louvain_generalized(
     cur_edges = (
         e
         if small
-        else barrier(e.repartition(n_part, "dst"), preserve_partitioning=True)
+        else barrier(
+            e.repartition(n_part, "dst"),
+            reset_stats=True,
+            preserve_partitioning=True,
+        )
     )
     state = verts.select("id", F.col("id").alias("community"))
     node_w = verts.select("id", F.lit(1.0).alias("w_u"))
@@ -412,7 +416,11 @@ def louvain_generalized(
         )
         if not small:
             contracted = contracted.repartition(n_part, "dst")
-        nxt = barrier(contracted, preserve_partitioning=not small)
+        nxt = barrier(
+            contracted,
+            reset_stats=not small,
+            preserve_partitioning=not small,
+        )
         node_w = barrier(
             node_w.join(state_dense, "id")
             .groupBy(F.col("community").alias("id"))

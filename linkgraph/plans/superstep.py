@@ -69,22 +69,27 @@ def barrier(
     this mode compiles/executes THIS materialization with AQE disabled
     — the right trade on superstep state plans, whose uniform vertex
     keys don't need AQE's runtime re-planning, while the exchange-free
-    co-partitioned joins it buys are the big-path win. Mutually
-    exclusive with reset_stats (the stats rewrap discards partitioning
-    by construction).
+    co-partitioned joins it buys are the big-path win.
 
-    reset_stats=True additionally rewraps the checkpointed RDD in a
-    fresh LogicalRDD with default statistics (losing partitioning
-    info). Needed by loops whose step multiplies the state's
-    size-estimate through several inner joins: localCheckpoint inherits
-    the estimated sizeInBytes, so estimates compound exponentially
-    across supersteps until Catalyst spends minutes on BigInt products
-    (SizeInBytesOnlyStatsPlanVisitor.visitJoin — observed digit growth
-    x5 per Louvain round before this fix).
+    reset_stats=True rewraps the checkpointed RDD in a fresh LogicalRDD
+    with default statistics. Needed by loops whose step multiplies the
+    state's size-estimate through inner joins: localCheckpoint inherits
+    the estimated sizeInBytes (originStats), so estimates compound
+    multiplicatively across barriers until Catalyst spends minutes on
+    BigInt products (SizeInBytesOnlyStatsPlanVisitor.visitJoin —
+    observed x3 DIGIT growth per Louvain level: the contraction's two
+    inner joins square the state estimate into the next level's edge
+    estimate).
+
+    BOTH flags together = the big-path iterative mode: fresh stats AND
+    preserved partitioning, via a direct LogicalRDD rebuild that copies
+    the checkpoint's output/rdd/partitioning but drops originStats and
+    originConstraints. (internalCreateDataFrame, the reset-only path,
+    cannot do this — it always produces UnknownPartitioning.)
     """
     spark = df.sparkSession
     before = set(_persistent_entries(spark))
-    if preserve_partitioning and not reset_stats:
+    if preserve_partitioning:
         key = "spark.sql.adaptive.enabled"
         old = spark.conf.get(key)
         spark.conf.set(key, "false")
@@ -97,7 +102,29 @@ def barrier(
     created = [
         jrdd for rid, jrdd in _persistent_entries(spark).items() if rid not in before
     ]
-    if reset_stats:
+    if reset_stats and preserve_partitioning:
+        # rebuild the LogicalRDD leaf: same output attrs, same
+        # checkpointed RDD, same outputPartitioning/ordering — but
+        # empty originStats/originConstraints (fresh default stats)
+        jvm = spark._jvm
+        leaf = out._jdf.queryExecution().analyzed().collectLeaves().apply(0)
+        empty = jvm.scala.Option.empty()
+        new_leaf = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            leaf.productElement(0),  # output: Seq[Attribute]
+            leaf.productElement(1),  # rdd
+            leaf.productElement(2),  # outputPartitioning
+            leaf.productElement(3),  # outputOrdering
+            False,                   # isStreaming
+            leaf.productElement(5),  # stream
+            spark._jsparkSession,
+            empty,                   # originStats
+            empty,                   # originConstraints
+        )
+        new_jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, new_leaf
+        )
+        out = DataFrame(new_jdf, spark)
+    elif reset_stats:
         jdf = out._jdf
         new_jdf = spark._jsparkSession.internalCreateDataFrame(
             jdf.queryExecution().toRdd(), jdf.schema(), False
