@@ -355,6 +355,37 @@ def test_louvain_big_path_round_exchange_count_locked(spark):
     assert plan2.count("Exchange") == 3, plan2
 
 
+def test_barrier_combined_mode_preserves_partitioning_and_resets_stats(spark):
+    """barrier(reset_stats=True, preserve_partitioning=True): the
+    rebuilt LogicalRDD must keep hash partitioning (groupBy on the key
+    plans zero exchanges) AND drop inherited originStats (fresh default
+    sizeInBytes, independent of the input plan's estimate) — the
+    cross-level stats-blowup fix for the Louvain big path."""
+    from linkgraph.plans.superstep import barrier
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = spark.createDataFrame([(i, float(i)) for i in range(200)], "id long, v double")
+    b = spark.createDataFrame([(i, i % 7) for i in range(200)], "id long, g long")
+    # inner join inflates the size estimate multiplicatively
+    big_est = a.join(b, "id").join(b.withColumnRenamed("g", "g2"), "id")
+    out = barrier(
+        big_est.repartition(n_part, "id"),
+        reset_stats=True,
+        preserve_partitioning=True,
+    )
+    assert out.count() == 200
+    assert sorted(out.columns) == ["g", "g2", "id", "v"]
+    agg = out.groupBy("id").count()
+    agg.collect()
+    plan = _plan(agg).split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 0, plan
+    # stats are the session default, NOT inherited from the join plan
+    stats = out._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    default = spark.conf.get("spark.sql.defaultSizeInBytes", None)
+    inherited = big_est._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    assert str(stats) != str(inherited)
+
+
 def test_bucketed_k1_layout_no_initial_exchange(spark, tmp_path):
     """VERDICT r2 stretch: reading the K1 layout through the catalog's
     bucketing spec drops the per-operator one-time repartition —
