@@ -156,12 +156,22 @@ def main() -> None:
             spark, n_hub, seed=13, base_out=4, max_out=n_hub, pareto_a=1.05,
             partitions=cpus,
         ).persist()
-        extra["hub_n_edges"] = hub_edges.count()
+        n_e = hub_edges.count()
+        extra["hub_n_edges"] = n_e
+        max_in = (
+            hub_edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.max("d")).first()[0]
+        )
+        extra["hub_max_in_degree"] = int(max_in)
+        # threshold = 10x the mean in-degree, so the auto-probe flips
+        # the salted path on at every bench scale (the quadratic
+        # in-skew puts vertex 0 at ~E/sqrt(n) >> mean); recorded above
+        # so the engaged path is auditable
+        thresh = max(32, 10 * n_e // n_hub)
+        extra["hub_salting_engaged"] = bool(max_in > thresh)
         r = SuperstepRunner(spark, run_id="bench-hub-pr", max_iter=100)
-        # threshold scaled to bench size so the auto-probe actually
-        # flips the salted path on (the in-skew targets low ids)
         pagerank(
-            spark, hub_edges, tol=1e-6, runner=r, hub_degree_threshold=n_hub // 20
+            spark, hub_edges, tol=1e-6, runner=r, hub_degree_threshold=thresh
         ).count()
         extra["hub_pagerank_supersteps"] = len(r.metrics)
         hub_edges.unpersist()
