@@ -67,6 +67,23 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(spark, undirected_edges(spark, sf_dir), max_iter=50)
 
 
+def _q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star contraction (O(log n) rounds) — must
+    produce the EXACT labels of min-label propagation (component = min
+    vertex id), so it shares the connected_components oracle SQL."""
+    from linkgraph.operators.components import connected_components
+
+    return connected_components(
+        spark, undirected_edges(spark, sf_dir), algorithm="star"
+    )
+
+
+def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from linkgraph.operators.triangles import triangles_per_vertex
+
+    return triangles_per_vertex(spark, undirected_edges(spark, sf_dir))
+
+
 def _q_lpa_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.operators.lpa import label_propagation
     from linkgraph.plans.superstep import SuperstepRunner
@@ -237,7 +254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": _q_degrees,
         "pagerank_k8": _q_pagerank_k8,
         "triangle_count": _q_triangle_count,
+        "triangles_per_vertex": _q_triangles_per_vertex,
         "connected_components": _q_connected_components,
+        "cc_star": _q_cc_star,
         "lpa_k4": _q_lpa_k4,
         "louvain_move_round1": _q_louvain_move_round1,
         "doc_tokens": _q_doc_tokens,
@@ -502,6 +521,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN canon e2 ON e1.dst = e2.src
             JOIN canon e3 ON e1.src = e3.src AND e2.dst = e3.dst""",
         "connected_components": _cc_sql(16),
+        "cc_star": _cc_sql(16),
+        "triangles_per_vertex": f"""WITH {EDGES_CTE},
+            canon AS (
+              SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+              FROM edges WHERE src <> dst
+            ),
+            tri AS (
+              SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+              FROM canon e1
+              JOIN canon e2 ON e1.dst = e2.src
+              JOIN canon e3 ON e1.src = e3.src AND e2.dst = e3.dst
+            ),
+            parts AS (
+              SELECT a AS id FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri
+            )
+            SELECT id, count(*) AS n_tri FROM parts GROUP BY id""",
         "lpa_k4": _lpa_sql(4),
         "louvain_move_round1": _louvain_move_round1_sql(),
         "doc_tokens": f"""SELECT doc_id,
