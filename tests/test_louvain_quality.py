@@ -101,3 +101,31 @@ def test_generalized_matches_oracle_random_graph(spark, qid):
     got = {r.id: r.community for r in res.assignment.collect()}
     assert got == want, f"labels diverge for qid={qid}"
     assert res.quality == pytest.approx(q_want, abs=1e-9)
+
+
+def test_generalized_big_path_labels_match_broadcast(spark):
+    """broadcast_threshold=0 (pure shuffle path, dst-partitioned level
+    checkpoints) must produce the exact labels of the broadcast path —
+    including id 3 (Goldberg), whose gain reads the in_c values now
+    derived from the round's single gather."""
+    from linkgraph.graph.build import build_graph
+    from linkgraph.operators.louvain_quality import louvain_generalized
+    from tests.fixtures import random_edges
+
+    df = spark.createDataFrame(
+        random_edges(40, 100, 23, weighted=True), "src long, dst long, weight double"
+    )
+    g = build_graph(df)
+    # qid 3 is the load-bearing case: its gain reads in_c on BOTH the
+    # candidate and the removed-own side (one shuffle-path run keeps
+    # the suite's wall time in check; id-0 big==broadcast is locked in
+    # test_plans for the main loop)
+    qid = 3
+    a = louvain_generalized(spark, g, quality_id=qid, max_levels=3)
+    b = louvain_generalized(
+        spark, g, quality_id=qid, max_levels=3, broadcast_threshold=0
+    )
+    la = {r.id: r.community for r in a.assignment.collect()}
+    lb = {r.id: r.community for r in b.assignment.collect()}
+    assert la == lb
+    assert a.quality == b.quality
