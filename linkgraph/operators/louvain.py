@@ -57,7 +57,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.plans.ranks import dense_ids
@@ -103,6 +103,7 @@ def _round_tables(
     n_part: int,
     persist: bool = True,
     salted: bool = False,
+    comm_obs: Observation | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the per-round tables: ``aug`` — one row per (vertex,
     neighboring community) PLUS one "own row" per vertex (the LPA
@@ -179,6 +180,12 @@ def _round_tables(
         F.col("tot").alias("tot_c"),
         F.col("csize").alias("size_c"),
     )
+    if comm_obs is not None:
+        # fold the Q scalar's Σ tot² term into whatever action consumes
+        # the aug join (the move barrier) — no separate comm scan/job
+        comm_j = comm_j.observe(
+            comm_obs, F.sum(F.col("tot_c") * F.col("tot_c")).alias("ts")
+        )
     comm_j = F.broadcast(comm_j) if small else comm_j.hint("shuffle_hash")
 
     aug = (
@@ -356,20 +363,21 @@ def _one_level(
             "id", F.coalesce("k", F.lit(0.0)).alias("k")
         )
         if small:
-            state = barrier(st_k, reset_stats=True)
+            # small path: lazy persist — round 0's single action
+            # materializes it (no separate checkpoint job per level)
+            state = st_k.withColumn("community", F.col("id")).select(
+                "id", "community", "k"
+            ).persist()
         else:
             state = barrier(
                 st_k.repartition(n_part, "id"),
                 reset_stats=True,
                 preserve_partitioning=True,
-            )
-        state = state.withColumn("community", F.col("id")).select(
-            "id", "community", "k"
-        )
+            ).withColumn("community", F.col("id")).select("id", "community", "k")
     else:
         st_k = _with_k(state, _k_table(e))
         if small:
-            state = barrier(st_k, reset_stats=True)
+            state = st_k.persist()
         else:
             state = barrier(
                 st_k.repartition(n_part, "id"),
@@ -380,15 +388,36 @@ def _one_level(
     q_prev: float | None = None
     q_after: float | None = None
     e_own_final = 0.0
-    # Round structure: each iteration FIRST scores the current state
-    # from the round's own aggregates (one cheap scalar action on the
-    # persisted frames), which is the previous round's q_after — then
-    # applies the move. Executed moves, stop round, and labels are
-    # IDENTICAL to the former move-then-_modularity loop; the edge
-    # table is joined once per round.
+    # Round structure (ONE Spark action per round): the move barrier's
+    # materialization also carries the Q scalar of the PRE-move state
+    # via two Observations — Σ own-community weight summed over the aug
+    # rows and Σ tot² on the comm build side — so the former separate
+    # per-round _q_from_aggregates action (and the aug/comm persist it
+    # required) is gone. When the observed gain says "stop"
+    # (gain < min_gain) the already-materialized moved state is simply
+    # discarded: executed moves, stop round, metrics, and labels are
+    # IDENTICAL to the measure-then-move loop. The observed sums add
+    # only exact-identity 0.0 terms, so Q stays exact for
+    # integer-valued weights (determinism note in the module docstring).
     for rnd in range(max_rounds):
-        aug, comm = _round_tables(e, state, small, n_part, salted=salted)
-        q_cur, e_own_final = _q_from_aggregates(aug, comm, m, self_total)
+        obs_aug = Observation()
+        obs_comm = Observation()
+        aug, _comm = _round_tables(
+            e, state, small, n_part, persist=False, salted=salted,
+            comm_obs=obs_comm,
+        )
+        aug = aug.observe(
+            obs_aug,
+            F.sum(F.when(F.col("is_own"), F.col("w")).otherwise(0.0)).alias("eo"),
+        )
+        new_state = barrier(
+            _apply_moves(state, aug, m, frontier, small),
+            reset_stats=True,
+            preserve_partitioning=not small,
+        )
+        e_own_final = float(obs_aug.get["eo"] or 0.0) + self_total
+        tot_sq = float(obs_comm.get["ts"] or 0.0)
+        q_cur = e_own_final / (2.0 * m) - tot_sq / (4.0 * m * m)
         if rnd == 0:
             q_prev = q_cur  # Q before any move this level
         else:
@@ -399,16 +428,8 @@ def _one_level(
                 improved = True
             if gain < min_gain:
                 q_after = q_cur
-                aug.unpersist()
-                comm.unpersist()
+                release(new_state)
                 break
-        new_state = barrier(
-            _apply_moves(state, aug, m, frontier, small),
-            reset_stats=True,
-            preserve_partitioning=not small,
-        )
-        aug.unpersist()
-        comm.unpersist()
         release(state)
         state = new_state
     if q_after is None:
@@ -427,13 +448,21 @@ def _one_level(
     return state, improved, q_after, e_own_final
 
 
-def _dense_communities(state: DataFrame) -> tuple[DataFrame, int]:
+def _dense_communities(
+    state: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, int]:
     """A6: dense renumber by ascending community id (GPU exclusive-scan
     ordering, ``community_aggregation.cu:267-273`` — a PARALLEL scan in
     the reference, and a distributed range-partition + offset scheme
-    here; no single-partition sort). Returns ((community, cid) eagerly
-    materialized, distinct community count)."""
-    return dense_ids(state, "community", out_col="cid")
+    here; no single-partition sort). ``num_partitions`` lets the caller
+    size the range partitioning to the key count (the contraction loop
+    passes ~1M keys/partition — post-contraction levels are tiny and a
+    full-width range shuffle there is pure scheduling overhead).
+    Returns ((community, cid) eagerly materialized, distinct community
+    count)."""
+    return dense_ids(
+        state, "community", out_col="cid", num_partitions=num_partitions
+    )
 
 
 def louvain(
@@ -466,8 +495,19 @@ def louvain(
     identical either way.
     """
     e = _normalize(edges).persist()
-    total_weight = e.agg(F.sum("weight")).first()[0] or 0.0
-    m = float(total_weight) / 2.0  # M, utils.cu:114
+    # one scan for BOTH the total weight (M, utils.cu:114) and the
+    # level-0 self-loop total (a per-level constant of the Q scalar —
+    # the 0.0-otherwise terms are exact identities, so both sums equal
+    # the former separate filter+sum scans bit-for-bit)
+    trow = e.agg(
+        F.sum("weight").alias("tw"),
+        F.sum(
+            F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(0.0)
+        ).alias("sl"),
+    ).first()
+    total_weight = trow["tw"] or 0.0
+    self_total0 = float(trow["sl"] or 0.0)
+    m = float(total_weight) / 2.0
     verts = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
@@ -497,7 +537,10 @@ def louvain(
         # remove every edge): every vertex its own dense community,
         # modularity 0 — no division by M anywhere.
         e.unpersist()
-        dense, _ = _dense_communities(verts.select(F.col("id").alias("community")))
+        dense, _ = _dense_communities(
+            verts.select(F.col("id").alias("community")),
+            num_partitions=max(1, n // 1_000_000 + 1),
+        )
         assignment = dense.select(
             F.col("community").alias("id"), F.col("cid").alias("community")
         )
@@ -555,7 +598,7 @@ def louvain(
     # level-0 vertex count; each contraction sets the next level's
     # vertex count to its community count (no distinct().count() jobs)
     n_nodes = n
-    next_self: float | None = None
+    next_self: float | None = self_total0
     for level in range(max_levels):
         cur_state, improved, q_final, e_own_final = _one_level(
             spark,
@@ -579,12 +622,21 @@ def louvain(
         force = False
 
         # A6: dense renumber by ascending community id (the dense-id
-        # builder already knows the distinct-community count)
-        dense_raw, n_comms = _dense_communities(cur_state)
-        dense = F.broadcast(dense_raw) if small else dense_raw
-        state_dense = barrier(
-            cur_state.join(dense, "community").select("id", F.col("cid").alias("community"))
+        # builder already knows the distinct-community count); range
+        # partitions sized to the key count — at most n_nodes keys
+        dense_raw, n_comms = _dense_communities(
+            cur_state, num_partitions=max(1, min(n_part, n_nodes // 1_000_000 + 1))
         )
+        dense = F.broadcast(dense_raw) if small else dense_raw
+        state_dense = cur_state.join(dense, "community").select(
+            "id", F.col("cid").alias("community")
+        )
+        if not small:
+            state_dense = barrier(state_dense)
+        # small path: state_dense stays lazy — its three consumers
+        # (hierarchy row, orig_map composition, contraction maps) each
+        # recompute one broadcast join of two already-materialized tiny
+        # frames, cheaper than a dedicated checkpoint job per level
         hierarchy_rows.append(
             state_dense.select(
                 F.lit(level).alias("level"),
@@ -639,7 +691,9 @@ def louvain(
     if not hierarchy_rows:
         # degenerate: no level improved and no warm start — every vertex
         # its own (dense) community
-        dense, _ = _dense_communities(cur_state)
+        dense, _ = _dense_communities(
+            cur_state, num_partitions=max(1, min(n_part, n_nodes // 1_000_000 + 1))
+        )
         state_dense = cur_state.join(dense, "community").select(
             "id", F.col("cid").alias("community")
         )

@@ -51,6 +51,25 @@ def dense_ids(
     spark = df.sparkSession
     nparts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     keys = df.select(col).where(F.col(col).isNotNull()).distinct()
+    if nparts == 1:
+        # single-range fast path (callers pass num_partitions=1 when the
+        # key count is known small, e.g. post-contraction Louvain
+        # levels): the offset table is trivially {0: 0}, so the
+        # per-partition-count collect is unnecessary — ONE action total,
+        # with the key count observed during the same materialization.
+        # id = global sorted rank, identical to the multi-range path.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = barrier(
+            keys.coalesce(1)
+            .withColumn(
+                out_col,
+                (F.row_number().over(Window.orderBy(col)) - 1).cast("long"),
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        return out, int(obs.get["n"])
     ranged = keys.repartitionByRange(nparts, F.col(col)).withColumn(
         "_pid", F.spark_partition_id()
     )

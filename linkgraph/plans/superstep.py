@@ -46,16 +46,6 @@ from pyspark.sql import DataFrame, SparkSession
 _BARRIER_RDDS: dict[int, list] = {}
 
 
-def _persistent_entries(spark) -> dict[int, object]:
-    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
-    out = {}
-    it = jmap.iterator()
-    while it.hasNext():
-        kv = it.next()
-        out[kv._1()] = kv._2()
-    return out
-
-
 def barrier(
     df: DataFrame, reset_stats: bool = False, preserve_partitioning: bool = False
 ) -> DataFrame:
@@ -88,7 +78,6 @@ def barrier(
     cannot do this — it always produces UnknownPartitioning.)
     """
     spark = df.sparkSession
-    before = set(_persistent_entries(spark))
     if preserve_partitioning:
         key = "spark.sql.adaptive.enabled"
         old = spark.conf.get(key)
@@ -99,9 +88,16 @@ def barrier(
             spark.conf.set(key, old)
     else:
         out = df.localCheckpoint(eager=True)
-    created = [
-        jrdd for rid, jrdd in _persistent_entries(spark).items() if rid not in before
-    ]
+    # the RDD the checkpoint persisted IS the LogicalRDD leaf's rdd —
+    # grab it directly (O(1) py4j) for release() bookkeeping. (The old
+    # scheme diffed the context's whole persistent-RDD registry per
+    # barrier: per-entry py4j calls over every leaked entry, quadratic
+    # driver overhead across a multi-level run.)
+    try:
+        leaf = out._jdf.queryExecution().analyzed().collectLeaves().apply(0)
+        created = [leaf.productElement(1)]
+    except Exception:
+        created = []
     if reset_stats and preserve_partitioning:
         # rebuild the LogicalRDD leaf: same output attrs, same
         # checkpointed RDD, same outputPartitioning/ordering — but
