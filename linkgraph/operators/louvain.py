@@ -104,6 +104,8 @@ def _round_tables(
     persist: bool = True,
     salted: bool = False,
     comm_obs: Observation | None = None,
+    aug_obs: Observation | None = None,
+    frontier: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the per-round tables: ``aug`` — one row per (vertex,
     neighboring community) PLUS one "own row" per vertex (the LPA
@@ -160,6 +162,18 @@ def _round_tables(
         F.col("community").alias("cur"),
         "k",
     )
+    if aug_obs is not None:
+        # Q scalar's Σ e(v->C(v)) term, observed over ALL vertices'
+        # gather rows BEFORE any frontier restriction (Q is global;
+        # CollectMetrics blocks pushdown, so the semi-join below cannot
+        # leak under it). Synthetic own rows carry w = 0.0 and were
+        # exact-identity terms of the former aug-level sum.
+        joined = joined.observe(
+            aug_obs,
+            F.sum(
+                F.when(F.col("c_dst") == F.col("cur"), F.col("w")).otherwise(0.0)
+            ).alias("eo"),
+        )
     own_rows = state.select(
         F.col("id").alias("vid"),
         F.col("community").alias("c_dst"),
@@ -167,6 +181,23 @@ def _round_tables(
         F.col("community").alias("cur"),
         "k",
     )
+    if frontier is not None:
+        # J3 frontier restriction pushed BELOW the comm join and argmax
+        # (optimiseModularityUsingVertexSubset evaluates only R): the
+        # downstream aug⋈comm join and groupBy(vid) shrink by R%.
+        # Non-frontier vertices simply have no candidate rows and keep
+        # their community through _apply_moves' left join — identical
+        # labels to the former post-argmax semi-join. Small path:
+        # broadcast; big path: frontier pays one tiny exchange to
+        # hash(vid), the state-partitioned sides stay exchange-free.
+        fr = frontier.select(F.col("id").alias("vid"))
+        fr = (
+            F.broadcast(fr)
+            if small
+            else fr.repartition(n_part, "vid").hint("shuffle_hash")
+        )
+        joined = joined.join(fr, "vid", "left_semi")
+        own_rows = own_rows.join(fr, "vid", "left_semi")
 
     # A4: community totals and sizes (full recompute per round — the
     # GPU's restart-safe strategy); isolated members count in csize
@@ -404,14 +435,10 @@ def _one_level(
         obs_comm = Observation()
         aug, _comm = _round_tables(
             e, state, small, n_part, persist=False, salted=salted,
-            comm_obs=obs_comm,
-        )
-        aug = aug.observe(
-            obs_aug,
-            F.sum(F.when(F.col("is_own"), F.col("w")).otherwise(0.0)).alias("eo"),
+            comm_obs=obs_comm, aug_obs=obs_aug, frontier=frontier,
         )
         new_state = barrier(
-            _apply_moves(state, aug, m, frontier, small),
+            _apply_moves(state, aug, m, None, small),
             reset_stats=True,
             preserve_partitioning=not small,
         )
@@ -474,6 +501,8 @@ def louvain(
     init_partition: DataFrame | None = None,
     frontier: DataFrame | None = None,
     vertices: DataFrame | None = None,
+    vertices_exact: bool = False,
+    n_vertices: int | None = None,
     broadcast_threshold: int = 5_000_000,
     salt_hubs: bool | None = None,
     hub_degree_threshold: int = 1_000_000,
@@ -489,6 +518,13 @@ def louvain(
     vertices: optional (id) — extra vertices to include even when
     isolated (the reference's CSR keeps degree-0 nodes in n2c; edge
     deletions can isolate nodes, which must keep a community).
+    vertices_exact=True asserts ``vertices`` IS the complete vertex set
+    (⊇ every edge endpoint) and that ``init_partition``, when given,
+    covers it exactly — the per-call edge-endpoint distinct, the
+    fallback-label max scan, and the init join are then skipped (the
+    incremental loop's state invariantly satisfies both).
+    n_vertices: known count of the exact vertex set (skips one count
+    job; only honored with vertices_exact).
     salt_hubs: None (default) probes max degree once (big path only)
     and switches the A1 aggregation to the hub-safe combine-first
     shape above ``hub_degree_threshold`` (SURVEY.md §4 X2); labels
@@ -508,14 +544,20 @@ def louvain(
     total_weight = trow["tw"] or 0.0
     self_total0 = float(trow["sl"] or 0.0)
     m = float(total_weight) / 2.0
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    if vertices is not None:
-        verts = verts.unionByName(vertices.select(F.col("id").cast("long"))).distinct()
-    n = verts.count()
+    if vertices is not None and vertices_exact:
+        verts = vertices.select(F.col("id").cast("long"))
+        n = n_vertices if n_vertices is not None else verts.count()
+    else:
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        if vertices is not None:
+            verts = verts.unionByName(
+                vertices.select(F.col("id").cast("long"))
+            ).distinct()
+        n = verts.count()
     small = n <= broadcast_threshold
     salted = False
     if not small:
@@ -556,15 +598,22 @@ def louvain(
         init = init_partition.select(
             "id", F.col("community").cast("long").alias("community")
         )
-        # Fallback labels for vertices the warm start doesn't cover must
-        # not collide with its (often dense 0..k) labels: offset past
-        # max(init community), as seed_new_nodes does.
-        max_c = init.agg(F.max("community")).first()[0]
-        offset = int(max_c) + 1 if max_c is not None else 0
-        state = verts.join(init, "id", "left").select(
-            "id",
-            F.coalesce("community", F.col("id") + F.lit(offset)).alias("community"),
-        )
+        if vertices is not None and vertices_exact:
+            # init covers the exact vertex set (vertices_exact
+            # contract): no fallback labeling, no max scan, no join
+            state = init
+        else:
+            # Fallback labels for vertices the warm start doesn't cover
+            # must not collide with its (often dense 0..k) labels:
+            # offset past max(init community), as seed_new_nodes does.
+            max_c = init.agg(F.max("community")).first()[0]
+            offset = int(max_c) + 1 if max_c is not None else 0
+            state = verts.join(init, "id", "left").select(
+                "id",
+                F.coalesce("community", F.col("id") + F.lit(offset)).alias(
+                    "community"
+                ),
+            )
         identity = False
     else:
         # singleton start: community := id is attached INSIDE

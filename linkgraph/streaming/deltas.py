@@ -56,7 +56,7 @@ def apply_additions(edges: DataFrame, delta_add: DataFrame) -> DataFrame:
 
 
 def seed_new_nodes(
-    spark, new_edges: DataFrame, state: DataFrame
+    spark, new_edges: DataFrame, state: DataFrame, batch: DataFrame | None = None
 ) -> DataFrame:
     """G4 (src/main_louvain.cpp:1484-1498): vertices first appearing in
     this batch get a community: degree-1 nodes whose single neighbor is
@@ -65,14 +65,29 @@ def seed_new_nodes(
     ascending node-id order, matching the reference's sequential loop).
 
     state: (id, community) over old nodes. Returns the extended state.
+    batch: optional — the addition batch (src, dst, ...) that produced
+    ``new_edges``. Pre-batch endpoints are invariantly ⊆ state, so new
+    vertices can only be batch endpoints: candidates come from the
+    (tiny) batch instead of a full-graph endpoint distinct, and a batch
+    touching only known vertices returns ``state`` after one cheap
+    emptiness probe. Identical result either way.
     """
-    verts = (
-        new_edges.select(F.col("src").alias("id"))
-        .unionByName(new_edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
+    if batch is not None:
+        verts = (
+            batch.select(F.col("src").cast("long").alias("id"))
+            .unionByName(batch.select(F.col("dst").cast("long").alias("id")))
+            .distinct()
+        )
+    else:
+        verts = (
+            new_edges.select(F.col("src").alias("id"))
+            .unionByName(new_edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
     old = state.select("id", "community")
     new_nodes = verts.join(old, "id", "left_anti")
+    if batch is not None and new_nodes.isEmpty():
+        return state
 
     deg = new_edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")

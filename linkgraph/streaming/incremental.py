@@ -132,7 +132,7 @@ def run_incremental(
                 )
             else:
                 new_edges = barrier(apply_additions(edges, batch))
-                state = seed_new_nodes(spark, new_edges, state)
+                state = seed_new_nodes(spark, new_edges, state, batch=batch)
                 verts = state.select("id")
                 r = barrier(
                     frontier_add(spark, new_edges, state, batch)
@@ -151,6 +151,12 @@ def run_incremental(
                     init_partition=state,
                     frontier=r,
                     vertices=verts,
+                    # the carried state IS the complete vertex set (the
+                    # del phase only removes edges; the add phase runs
+                    # seed_new_nodes first), so the per-call endpoint
+                    # distinct / count / fallback labeling are skipped
+                    vertices_exact=True,
+                    n_vertices=n,
                 )
                 state = barrier(res.assignment)
                 q = res.modularity
