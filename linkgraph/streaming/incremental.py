@@ -14,6 +14,7 @@ metrics incl. the headline delta-screening win, R%%
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -86,6 +87,54 @@ def _persist_metrics(
         ).write.mode("append").parquet(os.path.join(checkpoint_dir, "louvain_rounds"))
 
 
+def _inc_manifest_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "INCREMENTAL_MANIFEST.json")
+
+
+def _phase_order(ts: int, phase: str) -> tuple[int, int]:
+    """Sortable position of a phase: static < (0,del) < (0,add) < ..."""
+    if phase == "static":
+        return (-(2**31), 0)
+    return (int(ts), 0 if phase == "del" else 1)
+
+
+def _save_phase_state(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    state: DataFrame,
+    ts: int,
+    phase: str,
+    q: float,
+) -> None:
+    """Durable mid-run resume point (north rule "resumable from
+    checkpoint"; the analog of the reference driver's per-step .tree
+    restart files, main_louvain.cpp:1243-1253): the carried partition
+    state (vertex-sized — the edge versions are REPLAYED from the
+    deltas on resume, never checkpointed) plus a manifest recording the
+    last completed (ts, phase) and its modularity. State first,
+    manifest last: a kill between the two resumes from the previous
+    phase."""
+    path = os.path.join(
+        checkpoint_dir, "incremental_state", f"ts={ts}_phase={phase}"
+    )
+    state.write.mode("overwrite").parquet(path)
+    with open(_inc_manifest_path(checkpoint_dir), "w") as f:
+        json.dump({"ts": int(ts), "phase": phase, "state_path": path, "q": q}, f)
+
+
+def load_incremental_checkpoint(
+    spark: SparkSession, checkpoint_dir: str
+) -> tuple[DataFrame, int, str, float] | None:
+    """(state, last_ts, last_phase, q) of the last completed phase, or
+    None when no resume point exists."""
+    mp = _inc_manifest_path(checkpoint_dir)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        m = json.load(f)
+    return spark.read.parquet(m["state_path"]), m["ts"], m["phase"], m["q"]
+
+
 def run_incremental(
     spark: SparkSession,
     base_edges: DataFrame,
@@ -94,6 +143,7 @@ def run_incremental(
     max_levels: int = 20,
     checkpoint_dir: str | None = None,
     screening: bool = True,
+    resume: bool = True,
 ) -> IncrementalRun:
     """base_edges: symmetric weighted table (build_graph output).
     deltas: (ts:int, op:'add'|'del', src, dst[, weight]).
@@ -103,16 +153,38 @@ def run_incremental(
     from the carried partition but evaluates ALL vertices (frontier =
     whole vertex set, R%% = 100) — the natural A/B baseline for the
     delta-screening win.
+
+    resume=True + checkpoint_dir: a killed run restarts from the last
+    completed phase — the persisted state is reloaded, the edge
+    mutations of completed phases are replayed (cheap anti-join/union
+    chain, no Louvain), and processing continues with the first
+    unfinished phase; the final state and the durable metrics tables
+    are identical to an uninterrupted run (Louvain's determinism note).
+    The in-memory ``metrics`` list covers only the phases this process
+    ran — the durable ``incremental_metrics`` table has the full
+    history.
     """
     edges = barrier(base_edges.select("src", "dst", "weight"))
-    res = louvain(spark, edges, min_gain=min_gain, max_levels=max_levels)
-    state = barrier(res.assignment)
-    q = res.modularity
-    metrics: list[dict] = [
-        {"ts": -1, "phase": "static", "r_size": -1, "r_frac": 1.0, "q": q}
-    ]
-    if checkpoint_dir:
-        _persist_metrics(spark, checkpoint_dir, metrics[0], res.metrics)
+    metrics: list[dict] = []
+    resume_pos: tuple[int, int] | None = None
+    q = 0.0
+    state: DataFrame | None = None
+    if checkpoint_dir and resume:
+        loaded = load_incremental_checkpoint(spark, checkpoint_dir)
+        if loaded is not None:
+            st, last_ts, last_phase, q = loaded
+            state = barrier(st.select("id", "community"))
+            resume_pos = _phase_order(last_ts, last_phase)
+    if resume_pos is None:
+        res = louvain(spark, edges, min_gain=min_gain, max_levels=max_levels)
+        state = barrier(res.assignment)
+        q = res.modularity
+        metrics.append(
+            {"ts": -1, "phase": "static", "r_size": -1, "r_frac": 1.0, "q": q}
+        )
+        if checkpoint_dir:
+            _persist_metrics(spark, checkpoint_dir, metrics[0], res.metrics)
+            _save_phase_state(spark, checkpoint_dir, state, -1, "static", q)
 
     ts_list = [r.ts for r in deltas.select("ts").distinct().orderBy("ts").collect()]
     for ts in ts_list:
@@ -121,6 +193,13 @@ def run_incremental(
                 "src", "dst", *(["weight"] if "weight" in deltas.columns else [])
             )
             if batch.isEmpty():
+                continue
+            if resume_pos is not None and _phase_order(ts, phase) <= resume_pos:
+                # completed before the restart: replay the graph
+                # mutation only (the restored state already reflects
+                # this phase's Louvain pass and any node seeding)
+                mutate = apply_deletions if phase == "del" else apply_additions
+                edges = barrier(mutate(edges, batch))
                 continue
             if phase == "del":
                 new_edges = barrier(apply_deletions(edges, batch))
@@ -173,4 +252,5 @@ def run_incremental(
             )
             if checkpoint_dir:
                 _persist_metrics(spark, checkpoint_dir, metrics[-1], phase_louvain)
+                _save_phase_state(spark, checkpoint_dir, state, ts, phase, q)
     return IncrementalRun(state=state, edges=edges, modularity=q, metrics=metrics)

@@ -154,3 +154,54 @@ def test_screening_off_full_reeval_mode(spark):
     assert any(f < 1.0 for f in scr_fracs)
     assert abs(screened.modularity - full.modularity) < 0.05
     assert _edges_dict(screened.edges) == _edges_dict(full.edges)
+
+
+def test_incremental_mid_run_resume(spark, tmp_path):
+    """Durable mid-run resume (north rule "resumable from checkpoint";
+    the analog of the reference driver's per-step .tree restart,
+    main_louvain.cpp:1243-1253): a run killed inside a later phase
+    restarts from the last completed phase's persisted state, replays
+    only the completed phases' edge mutations, and ends with the same
+    final state, modularity, edge version, and durable metrics history
+    as an uninterrupted run."""
+    import linkgraph.streaming.incremental as inc_mod
+
+    g = build_graph(toy_edges_df(spark))
+    full_dir = str(tmp_path / "full")
+    full = run_incremental(spark, g, toy_deltas_df(spark), checkpoint_dir=full_dir)
+    want_state = sorted((r.id, r.community) for r in full.state.collect())
+
+    kill_dir = str(tmp_path / "killed")
+    orig = inc_mod.louvain
+    calls = {"warm": 0}
+
+    def bomb(*a, **kw):
+        if kw.get("init_partition") is not None:
+            calls["warm"] += 1
+            if calls["warm"] == 2:
+                raise RuntimeError("simulated kill")
+        return orig(*a, **kw)
+
+    inc_mod.louvain = bomb
+    try:
+        with pytest.raises(RuntimeError, match="simulated kill"):
+            run_incremental(spark, g, toy_deltas_df(spark), checkpoint_dir=kill_dir)
+    finally:
+        inc_mod.louvain = orig
+    assert calls["warm"] == 2  # the kill actually hit a later phase
+
+    resumed = run_incremental(spark, g, toy_deltas_df(spark), checkpoint_dir=kill_dir)
+    got_state = sorted((r.id, r.community) for r in resumed.state.collect())
+    assert got_state == want_state
+    assert resumed.modularity == full.modularity
+    assert _edges_dict(resumed.edges) == _edges_dict(full.edges)
+    # durable per-phase metrics: the two dirs hold identical histories
+    # (the killed run wrote the completed phases; the resumed process
+    # appended exactly the remaining ones, no duplicates)
+    full_m = sorted(
+        tuple(r) for r in spark.read.parquet(full_dir + "/incremental_metrics").collect()
+    )
+    kill_m = sorted(
+        tuple(r) for r in spark.read.parquet(kill_dir + "/incremental_metrics").collect()
+    )
+    assert kill_m == full_m
