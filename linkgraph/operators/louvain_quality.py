@@ -39,7 +39,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.functions.quality import (
@@ -73,17 +73,15 @@ def _gain(qid: int, q: QualityInputs, params: dict) -> F.Column:
 
 def _round_core(
     e: DataFrame,
-    state: DataFrame,
-    node_w: DataFrame,
-    k_df: DataFrame,
-    self_df: DataFrame,
+    per_node: DataFrame,
     small: bool,
     n_part: int,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared per-round frames: per_node (id, community, k, w_u,
-    self_w), joined (vid, c_dst, w, cur, k, w_u, self_w) — one row per
-    (vertex, neighboring community) from the round's SINGLE gather —
-    and comm (community, tot, w_c, csize, in_c).
+) -> tuple[DataFrame, DataFrame]:
+    """Shared per-round frames over the FOLDED state ``per_node``
+    (id, community, k, w_u, self_w — hash(id)-partitioned on the big
+    path): ``joined`` (vid, c_dst, w, cur, k, w_u, self_w) — one row
+    per (vertex, neighboring community) from the round's SINGLE gather
+    — and ``comm`` (community, tot, w_c, csize, in_c).
 
     in_c = Σ_v e(v->C(v)) + Σ member self-loops (= the reference
     in[c]: every symmetric intra-community row counted once plus
@@ -91,9 +89,12 @@ def _round_core(
     second edge double-join, so the edge table is scanned/joined
     exactly ONCE per round. Big path: e must be dst-partitioned (the
     per-level checkpoint); the gather join exchanges only the
-    vertex-sized label side, and the A1 aggregation repartitions on
-    src — no per-round edge re-exchange (plan-audited)."""
-    labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
+    vertex-sized label side, the A1 aggregation repartitions on src,
+    and the w_vc⋈per_node join is an exchange-free shuffle-hash join
+    (plan-audited)."""
+    labels = per_node.select(
+        F.col("id").alias("nid"), F.col("community").alias("c_dst")
+    )
     labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
     gather = (
         e.filter(F.col("src") != F.col("dst"))
@@ -104,18 +105,6 @@ def _round_core(
         gather = gather.repartition(n_part, "src")
     w_vc = gather.groupBy("src", "c_dst").agg(F.sum("weight").alias("w"))
 
-    per_node = (
-        state.join(k_df, "id", "left")
-        .join(node_w, "id", "left")
-        .join(self_df, "id", "left")
-        .select(
-            "id",
-            "community",
-            F.coalesce("k", F.lit(0.0)).alias("k"),
-            F.coalesce("w_u", F.lit(1.0)).alias("w_u"),
-            F.coalesce("self_w", F.lit(0.0)).alias("self_w"),
-        )
-    )
     st = F.broadcast(per_node) if small else per_node.hint("shuffle_hash")
     joined = w_vc.join(st, w_vc.src == st.id).select(
         F.col("src").alias("vid"),
@@ -142,15 +131,12 @@ def _round_core(
         .withColumn("in_c", F.coalesce("iw", F.lit(0.0)) + F.col("sc"))
         .select("community", "tot", "w_c", "csize", "in_c")
     )
-    return per_node, joined, comm
+    return joined, comm
 
 
 def _move_round_q(
     e: DataFrame,
-    state: DataFrame,
-    node_w: DataFrame,
-    k_df: DataFrame,
-    self_df: DataFrame,
+    per_node: DataFrame,
     qid: int,
     params: dict,
     m2: float,
@@ -158,48 +144,49 @@ def _move_round_q(
     max_w: float,
     small: bool,
     n_part: int,
+    moves_obs: Observation | None = None,
 ) -> DataFrame:
-    per_node, joined, comm = _round_core(
-        e, state, node_w, k_df, self_df, small, n_part
-    )
-    if small:
-        comm = F.broadcast(comm)
+    """One synchronous move round over the folded state; returns the
+    NEW folded state (id, community, old_community, k, w_u, self_w).
 
-    own = per_node.withColumnRenamed("id", "vid").withColumnRenamed(
-        "community", "cur"
-    ).join(
-        comm.select(
-            F.col("community").alias("cur"),
-            F.col("tot").alias("tot_cur"),
-            F.col("w_c").alias("w_c_cur"),
-            F.col("csize").alias("size_cur"),
-            F.col("in_c").alias("in_cur"),
-        ),
-        "cur",
+    Structure is the id-0 union/argmax shape (operators.louvain
+    ``_round_tables``/``_apply_moves``): candidate rows and one
+    synthetic own row per vertex (w = 0.0; the REAL own-community rows
+    of the gather carry e(v->C(v))) are unioned, joined ONCE with the
+    community table on c_dst, and a single groupBy(vid) extracts the
+    two swap-guard argmaxes (W3) AND the own-community aggregates; the
+    own-gain formula (CPU remove-then-evaluate semantics,
+    src/louvain.cpp:413-428) is then evaluated on the aggregated
+    scalars — the same expression tree over the same values as the
+    former per-row form, so decisions are float-identical. The update
+    join is exchange-free on the big path (best hash(vid) from the
+    groupBy ⋈ per_node hash(id)).
+
+    moves_obs: optional Observation — number of label changes, observed
+    during whatever action materializes the result (saves the separate
+    per-round count job)."""
+    joined, comm = _round_core(e, per_node, small, n_part)
+    own_rows = per_node.select(
+        F.col("id").alias("vid"),
+        F.col("community").alias("c_dst"),
+        F.lit(0.0).alias("w"),
+        F.col("community").alias("cur"),
+        "k",
+        "w_u",
+        "self_w",
     )
-    e_own = joined.filter(F.col("c_dst") == F.col("cur")).select(
-        F.col("vid").alias("eid"), F.col("w").alias("e_own")
+    comm_j = comm.select(
+        F.col("community").alias("c_dst"),
+        F.col("tot").alias("tot_c"),
+        F.col("w_c").alias("w_cc"),
+        F.col("csize").alias("size_c"),
+        F.col("in_c").alias("in_cc"),
     )
-    with_own = own.join(e_own, own.vid == F.col("eid"), "left").withColumn(
-        "e_own", F.coalesce("e_own", F.lit(0.0))
-    )
-    # own-community gain with the node removed (CPU remove() semantics)
-    q_own = QualityInputs(
-        dnc=F.col("e_own"),
-        degc=F.col("k"),
-        tot_c=F.col("tot_cur") - F.col("k"),
-        in_c=F.col("in_cur") - (F.lit(2.0) * F.col("e_own") + F.col("self_w")),
-        self_v=F.col("self_w"),
-        w_u=F.col("w_u"),
-        w_c=F.col("w_c_cur") - F.col("w_u"),
-        m2=m2,
-        n=n,
-        max_w=max_w,
-    )
-    own_pack = with_own.select(
-        "vid",
-        F.greatest(_gain(qid, q_own, params), F.lit(0.0)).alias("own_gain"),
-        "size_cur",
+    comm_j = F.broadcast(comm_j) if small else comm_j.hint("shuffle_hash")
+    aug = (
+        joined.unionByName(own_rows)
+        .join(comm_j, "c_dst")
+        .withColumn("is_own", F.col("c_dst") == F.col("cur"))
     )
 
     q_cand = QualityInputs(
@@ -214,48 +201,70 @@ def _move_round_q(
         n=n,
         max_w=max_w,
     )
-    cands = joined.filter(F.col("c_dst") != F.col("cur")).join(
-        comm.select(
-            F.col("community").alias("c_dst"),
-            F.col("tot").alias("tot_c"),
-            F.col("w_c").alias("w_cc"),
-            F.col("csize").alias("size_c"),
-            F.col("in_c").alias("in_cc"),
-        ),
-        "c_dst",
-    )
     gain = _gain(qid, q_cand, params)
+    is_cand = ~F.col("is_own")
     # W3 swap guard as two filtered argmaxes chosen by the own row's
-    # size_cur (the id-0 pattern — the guard needs the own community's
-    # size, which is not on the candidate row)
-    strict_ok = (F.col("c_dst") < F.col("cur")) | (F.col("size_c") > 1)
+    # size (the guard needs the own community's size, which lives on a
+    # different row of the group)
+    strict_ok = is_cand & ((F.col("c_dst") < F.col("cur")) | (F.col("size_c") > 1))
     val = F.struct(F.col("c_dst").alias("bc"), gain.alias("bg"))
     ordr = F.struct(gain.alias("g"), (-F.col("c_dst")).alias("negc"))
-    best = cands.groupBy(F.col("vid").alias("bid")).agg(
+    best = aug.groupBy("vid").agg(
         F.max_by(val, F.when(strict_ok, ordr)).alias("b_strict"),
-        F.max_by(val, ordr).alias("b_any"),
+        F.max_by(val, F.when(is_cand, ordr)).alias("b_any"),
+        F.sum(F.when(F.col("is_own"), F.col("w")).otherwise(0.0)).alias("e_own"),
+        F.max(F.when(F.col("is_own"), F.col("tot_c"))).alias("tot_cur"),
+        F.max(F.when(F.col("is_own"), F.col("w_cc"))).alias("w_c_cur"),
+        F.max(F.when(F.col("is_own"), F.col("size_c"))).alias("size_cur"),
+        F.max(F.when(F.col("is_own"), F.col("in_cc"))).alias("in_cur"),
+        F.max("k").alias("k"),
+        F.max("w_u").alias("w_u"),
+        F.max("self_w").alias("self_w"),
     )
-    return (
-        state.join(best, state.id == F.col("bid"), "left")
-        .join(own_pack, state.id == F.col("vid"), "left")
-        .withColumn(
-            "b",
-            F.when(F.col("size_cur") > 1, F.col("b_any")).otherwise(
-                F.col("b_strict")
-            ),
-        )
-        .select(
-            state.id,
-            F.when(
-                F.col("b").isNotNull()
-                & (F.col("b.bg") > F.coalesce(F.col("own_gain"), F.lit(0.0))),
-                F.col("b.bc"),
-            )
-            .otherwise(state.community)
-            .alias("community"),
-            state.community.alias("old_community"),
-        )
+    # own-community gain with the node removed (CPU remove() semantics)
+    q_own = QualityInputs(
+        dnc=F.col("e_own"),
+        degc=F.col("k"),
+        tot_c=F.col("tot_cur") - F.col("k"),
+        in_c=F.col("in_cur") - (F.lit(2.0) * F.col("e_own") + F.col("self_w")),
+        self_v=F.col("self_w"),
+        w_u=F.col("w_u"),
+        w_c=F.col("w_c_cur") - F.col("w_u"),
+        m2=m2,
+        n=n,
+        max_w=max_w,
     )
+    sel = best.select(
+        "vid",
+        F.when(F.col("size_cur") > 1, F.col("b_any"))
+        .otherwise(F.col("b_strict"))
+        .alias("b"),
+        F.greatest(_gain(qid, q_own, params), F.lit(0.0)).alias("own_gain"),
+    )
+    if not small:
+        sel = sel.hint("shuffle_hash")
+    out = per_node.join(sel, per_node.id == F.col("vid"), "left").select(
+        per_node.id,
+        F.when(
+            F.col("b").isNotNull()
+            & (F.col("b.bg") > F.coalesce(F.col("own_gain"), F.lit(0.0))),
+            F.col("b.bc"),
+        )
+        .otherwise(per_node.community)
+        .alias("community"),
+        per_node.community.alias("old_community"),
+        per_node.k,
+        per_node.w_u,
+        per_node.self_w,
+    )
+    if moves_obs is not None:
+        out = out.observe(
+            moves_obs,
+            F.sum(
+                (F.col("community") != F.col("old_community")).cast("long")
+            ).alias("mv"),
+        )
+    return out
 
 
 def louvain_generalized(
@@ -326,44 +335,75 @@ def louvain_generalized(
             preserve_partitioning=True,
         )
     )
-    state = verts.select("id", F.col("id").alias("community"))
+    ids = verts.select("id")
     node_w = verts.select("id", F.lit(1.0).alias("w_u"))
     orig_map = verts.select(F.col("id").alias("orig"), F.col("id").alias("node"))
     levels_done = 0
     n_nodes = int(n)  # per-level vertex count, updated by contraction
     q_final = 0.0
     for level in range(max_levels):
-        state = barrier(state, reset_stats=True)
-        k_df = _k_table(cur_edges).persist()
+        # fold the level's per-vertex constants ONCE (id-0 pattern); on
+        # the big path the folded state is checkpointed
+        # hash(id)-partitioned and KEPT so across every round barrier
+        # (combined reset-stats + preserve mode), so the gather/update
+        # joins are exchange-free all level long. Every level starts
+        # from singletons (community := id) — attached AFTER the
+        # checkpoint (the duplicate-alias trap, plans/superstep.py).
+        k_df = _k_table(cur_edges)
         self_df = (
             cur_edges.filter(F.col("src") == F.col("dst"))
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("weight").alias("self_w"))
-        ).persist()
+        )
+        bare = (
+            ids.join(k_df, "id", "left")
+            .join(node_w, "id", "left")
+            .join(self_df, "id", "left")
+            .select(
+                "id",
+                F.coalesce("k", F.lit(0.0)).alias("k"),
+                F.coalesce("w_u", F.lit(1.0)).alias("w_u"),
+                F.coalesce("self_w", F.lit(0.0)).alias("self_w"),
+            )
+        )
+        if small:
+            per_node = bare.withColumn("community", F.col("id")).select(
+                "id", "community", "k", "w_u", "self_w"
+            ).persist()
+            pn_src = per_node  # the releasable (persisted/barriered) frame
+        else:
+            pn_src = barrier(
+                bare.repartition(n_part, "id"),
+                reset_stats=True,
+                preserve_partitioning=True,
+            )
+            per_node = pn_src.withColumn("community", F.col("id")).select(
+                "id", "community", "k", "w_u", "self_w"
+            )
         moved_any = False
         for rnd in range(max_rounds_per_level):
             _t0 = time.perf_counter()
             if quality_id == 8 and kappa_min > 1:
                 # live kappa at round start (see module docstring)
                 params["kappa"] = float(
-                    state.join(k_df, "id")
-                    .filter(F.col("k") > 0.0)
+                    per_node.filter(F.col("k") > 0.0)
                     .select("community")
                     .distinct()
                     .count()
                 )
+            obs = Observation()
             new_state = barrier(
                 _move_round_q(
-                    cur_edges, state, node_w, k_df, self_df,
-                    quality_id, params, m2, n, max_w, small, n_part,
+                    cur_edges, per_node, quality_id, params,
+                    m2, n, max_w, small, n_part, moves_obs=obs,
                 ),
                 reset_stats=True,
+                preserve_partitioning=not small,
             )
-            moves = new_state.filter(
-                F.col("community") != F.col("old_community")
-            ).count()
-            release(state)
-            state = new_state  # keep the barriered frame (release registry)
+            moves = int(obs.get["mv"] or 0)
+            release(pn_src)
+            pn_src = new_state
+            per_node = new_state.select("id", "community", "k", "w_u", "self_w")
             metrics.append(
                 {
                     "level": level,
@@ -377,20 +417,19 @@ def louvain_generalized(
             moved_any = True
         # the metric's quality() value at this level's fixpoint — the
         # scalar the reference prints each pass
-        _, _, comm = _round_core(
-            cur_edges, state, node_w, k_df, self_df, small, n_part
-        )
+        _, comm = _round_core(cur_edges, per_node, small, n_part)
         q_final = quality_value(
             comm, quality_id, m2, n, max_w,
             alpha=params.get("alpha", 0.5), side=side,
         )
         metrics.append({"level": level, "quality": q_final})
-        k_df.unpersist()
-        self_df.unpersist()
         levels_done = level + 1
+        state = per_node.select("id", "community")
         if not moved_any:
             break
-        dense_raw, n_comms = _dense_communities(state)
+        dense_raw, n_comms = _dense_communities(
+            state, num_partitions=max(1, min(n_part, n_nodes // 1_000_000 + 1))
+        )
         dense = F.broadcast(dense_raw) if small else dense_raw
         state_dense = barrier(
             state.join(dense, "community").select("id", F.col("cid").alias("community"))
@@ -429,7 +468,9 @@ def louvain_generalized(
         if cur_edges is not e:
             release(cur_edges)
         cur_edges = nxt
-        state = dense.select(F.col("cid").alias("id"), F.col("cid").alias("community"))
+        # next level's vertex set = ALL community ids; community := id
+        # is attached inside the level-start fold (identity start)
+        ids = dense.select(F.col("cid").alias("id"))
 
     if cur_edges is not e:
         release(cur_edges)

@@ -432,6 +432,56 @@ def test_bucketed_k1_layout_no_initial_exchange(spark, tmp_path):
     spark.sql("DROP TABLE t_adj_test")
 
 
+def _generalized_round_plan(spark, e, n_part, general_state: bool):
+    """One louvain_generalized big-path round over a folded,
+    hash(id)-partitioned state (the operator's own level-start shape),
+    returning the executed plan string."""
+    from linkgraph.operators.louvain import _k_table
+    from linkgraph.operators.louvain_quality import _move_round_q
+    from linkgraph.plans.superstep import barrier
+
+    verts = e.select(F.col("src").alias("id")).distinct()
+    k_df = _k_table(e)
+    node_w = verts.select("id", F.lit(1.0).alias("w_u"))
+    self_df = (
+        e.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("self_w"))
+    )
+    bare = (
+        verts.join(k_df, "id", "left")
+        .join(node_w, "id", "left")
+        .join(self_df, "id", "left")
+        .select(
+            "id",
+            F.coalesce("k", F.lit(0.0)).alias("k"),
+            F.coalesce("w_u", F.lit(1.0)).alias("w_u"),
+            F.coalesce("self_w", F.lit(0.0)).alias("self_w"),
+        )
+    )
+    pn = barrier(
+        bare.repartition(n_part, "id"),
+        reset_stats=True,
+        preserve_partitioning=True,
+    )
+    if general_state:
+        # a real community column from a join (every round after moves)
+        init = verts.select("id", (F.col("id") % 5).alias("community"))
+        pn = barrier(
+            pn.join(init, "id").select("id", "community", "k", "w_u", "self_w")
+            .repartition(n_part, "id"),
+            reset_stats=True,
+            preserve_partitioning=True,
+        )
+    else:
+        pn = pn.withColumn("community", F.col("id")).select(
+            "id", "community", "k", "w_u", "self_w"
+        )
+    out = _move_round_q(e, pn, 0, {}, 300.0, 40.0, 1.0, False, n_part)
+    out.collect()
+    return _plan(out).split("== Initial Plan ==")[0]
+
+
 def test_louvain_generalized_big_path_no_edge_exchange(spark):
     """louvain_generalized round over dst-partitioned edges: the edge
     table is joined exactly once (the gather) with no re-exchange —
@@ -439,8 +489,6 @@ def test_louvain_generalized_big_path_no_edge_exchange(spark):
     is the A1 hash(src). Over RAW edges the same round must exchange
     the edge side on dst (self-calibrating contrast). The former
     second edge double-join (in_c) is structurally gone."""
-    from linkgraph.operators.louvain import _k_table
-    from linkgraph.operators.louvain_quality import _move_round_q
     from linkgraph.plans.superstep import barrier
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -452,30 +500,59 @@ def test_louvain_generalized_big_path_no_edge_exchange(spark):
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
 
-    def round_plan(e):
-        verts = e.select(F.col("src").alias("id")).distinct()
-        state = verts.select("id", F.col("id").alias("community"))
-        node_w = verts.select("id", F.lit(1.0).alias("w_u"))
-        self_df = (
-            e.filter(F.col("src") == F.col("dst"))
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.sum("weight").alias("self_w"))
-        )
-        out = _move_round_q(
-            e, state, node_w, _k_table(e), self_df,
-            0, {}, 300.0, 40.0, 1.0, False, n_part,
-        )
-        out.collect()
-        return _plan(out).split("== Initial Plan ==")[0]
-
-    pre = round_plan(
-        barrier(sym.repartition(n_part, "dst"), preserve_partitioning=True)
+    pre = _generalized_round_plan(
+        spark,
+        barrier(sym.repartition(n_part, "dst"), preserve_partitioning=True),
+        n_part,
+        general_state=True,
     )
     assert "Exchange hashpartitioning(dst" not in pre, pre
     assert pre.count("REPARTITION_BY_NUM") == 1, pre  # the A1 hash(src)
 
-    raw = round_plan(sym)
+    raw = _generalized_round_plan(spark, sym, n_part, general_state=True)
     assert "Exchange hashpartitioning(dst" in raw, raw
+
+
+def test_louvain_generalized_big_path_round_exchange_count_locked(spark):
+    """VERDICT r3 #3: the generalized round now carries the FOLDED
+    state (id, community, k, w_u, self_w) hash(id)-partitioned across
+    round barriers (the id-0 pattern). Exchange budget for one general
+    round, LOCKED — exactly 4, the same budget as the id-0 round
+    (test above) even though the generalized metrics additionally need
+    in[c]:
+
+      1. the A1 gather repartition on src (edge-sized, inherent),
+      2. the community-base groupBy(community) over the state,
+      3. the community-keyed aug⋈comm join (the in_c groupBy(cur)
+         piggybacks on this exchange: its input is filtered to
+         c_dst == cur, so hash(c_dst) satisfies its distribution),
+      4. the argmax groupBy(vid);
+
+    the gather join, the w_vc⋈state join, and the update join are
+    exchange-free shuffle-hash joins (no SortMergeJoin anywhere). The
+    identity start (community := id attached after the checkpoint)
+    makes the state-side community aggregation alias-free as well:
+    3 exchanges."""
+    from linkgraph.plans.superstep import barrier
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 11) % 40, 1.0) for i in range(300) if i % 40 != (i * 11) % 40],
+        "src long, dst long, weight double",
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    e = barrier(sym.repartition(n_part, "dst"), preserve_partitioning=True)
+
+    plan = _generalized_round_plan(spark, e, n_part, general_state=True)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert plan.count("Exchange") == 4, plan
+
+    plan_id = _generalized_round_plan(spark, e, n_part, general_state=False)
+    assert "SortMergeJoin" not in plan_id, plan_id
+    assert plan_id.count("Exchange") == 3, plan_id
 
 
 def test_louvain_big_path_labels_match_broadcast_path(spark):
