@@ -30,6 +30,7 @@ def main() -> None:
         "linkgraph-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
 
+    from linkgraph.graph.build import read_adjacency_table, write_adjacency_table
     from linkgraph.operators.components import connected_components
     from linkgraph.operators.lpa import label_propagation
     from linkgraph.operators.pagerank import pagerank
@@ -48,8 +49,23 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # -- graph build from the sf tables (S1-S3) ----------------------
-    edges = timed("graph_build", lambda: undirected_edges(spark, sf_dir).persist())
+    # -- graph build from the sf tables (S1-S3 + K1) -----------------
+    # built ONCE into the catalog-known src-bucketed K1 layout; every
+    # graph query below reads it back pre-partitioned (the one-time
+    # bucketing cost is charged here, honestly)
+    def build():
+        import tempfile
+
+        spark.sql("DROP TABLE IF EXISTS bench_adjacency")
+        write_adjacency_table(
+            undirected_edges(spark, sf_dir),
+            "bench_adjacency",
+            os.path.join(tempfile.mkdtemp(prefix="bench_adj_"), "adjacency"),
+            num_buckets=cpus,
+        )
+        return read_adjacency_table(spark, "bench_adjacency").persist()
+
+    edges = timed("graph_build", build)
     n_edges = edges.count()
     extra["n_edges"] = n_edges
 
@@ -57,7 +73,7 @@ def main() -> None:
     runner = SuperstepRunner(spark, run_id="bench-pr", max_iter=100)
     timed(
         "pagerank_1e6",
-        lambda: pagerank(spark, edges, tol=1e-6, runner=runner).count(),
+        lambda: pagerank(spark, edges, tol=1e-6, runner=runner, pre_partitioned=True).count(),
     )
     supersteps = len(runner.metrics)
     extra["pagerank_supersteps"] = supersteps
@@ -67,9 +83,17 @@ def main() -> None:
         )
 
     # -- remaining north-star queries ---------------------------------
-    timed("connected_components", lambda: connected_components(spark, edges).count())
+    timed(
+        "connected_components",
+        lambda: connected_components(spark, edges, pre_partitioned=True).count(),
+    )
     lpa_runner = SuperstepRunner(spark, run_id="bench-lpa", max_iter=4)
-    timed("lpa_k4", lambda: label_propagation(spark, edges, runner=lpa_runner).count())
+    timed(
+        "lpa_k4",
+        lambda: label_propagation(
+            spark, edges, runner=lpa_runner, pre_partitioned=True
+        ).count(),
+    )
     timed("triangle_count", lambda: triangle_count(spark, edges).collect())
 
     # -- Louvain multi-level + incremental w/ delta screening ---------
@@ -80,7 +104,7 @@ def main() -> None:
     louvain_assignment = {}
 
     def run_louvain():
-        res = louvain(spark, edges)
+        res = louvain(spark, edges, pre_partitioned=True)
         assign = res.assignment.persist()
         n = assign.count()
         louvain_assignment["df"] = assign

@@ -44,6 +44,7 @@ def connected_components(
     run_id: str = "cc",
     runner: SuperstepRunner | None = None,
     algorithm: str = "min-label",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Returns (id:long, component:long) on the undirected graph.
 
@@ -52,6 +53,15 @@ def connected_components(
     exchange per superstep, rounds = diameter) or "star" (large-star /
     small-star contraction — O(log n) rounds, for high-diameter
     graphs; identical labels).
+
+    pre_partitioned=True: the caller guarantees ``edges`` is already
+    the SYMMETRIC deduped table, hash(src)-partitioned at the
+    session's shuffle partition count (the K1 bucketed layout read via
+    ``graph.build.read_adjacency_table``). The one-time
+    symmetrize/distinct/repartition is skipped and the superstep
+    gathers along the co-located src side instead (aggregating per
+    dst) — identical labels by symmetry, zero initial exchange
+    (plan-audited).
     """
     if algorithm == "star":
         return connected_components_star(spark, edges, max_iter=max_iter)
@@ -59,15 +69,22 @@ def connected_components(
         raise ValueError(f"unknown algorithm {algorithm!r}")
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # dst-partitioned once: every superstep's gather join reads this
-    # cache with no fresh exchange on the edge side
-    sym = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(n_part, "dst")
-        .persist()
-    )
+    if pre_partitioned:
+        sym = e.filter(F.col("src") != F.col("dst")).persist()
+        gather_key, agg_key = "src", "dst"
+    else:
+        # dst-partitioned once: every superstep's gather join reads
+        # this cache with no fresh exchange on the edge side
+        sym = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .repartition(n_part, "dst")
+            .persist()
+        )
+        gather_key, agg_key = "dst", "src"
 
     verts = (
         e.select(F.col("src").alias("id"))
@@ -91,15 +108,16 @@ def connected_components(
         labels = st.select("id", "component")
         labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
         nbr_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
+            sym.join(labels, sym[gather_key] == labels.id)
+            .groupBy(F.col(agg_key).alias("vid"))
             .agg(F.min("component").alias("nbr_min"))
         )
         if not small:
-            # nbr_min is hash-partitioned on src by the agg; the state is
-            # partitioned on id — exchange-free shuffle-hash update join
+            # nbr_min is hash-partitioned on the vertex key by the agg;
+            # the state is partitioned on id — exchange-free
+            # shuffle-hash update join
             nbr_min = nbr_min.hint("shuffle_hash")
-        return st.join(nbr_min, st.id == nbr_min.src, "left").select(
+        return st.join(nbr_min, st.id == nbr_min.vid, "left").select(
             st.id,
             st.component.alias("old_component"),
             F.least(st.component, F.coalesce(F.col("nbr_min"), st.component)).alias(

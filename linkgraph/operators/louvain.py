@@ -114,15 +114,23 @@ def _round_tables(
     totals — and ``comm`` (community, tot, csize).
 
     Big-path exchange budget (locked by test_plans): the gather join
-    (dst-partitioned edges ⋈ id-partitioned labels) and the
+    (src-partitioned edges ⋈ id-partitioned labels) and the
     state⋈w_vc join are exchange-free shuffle-hash joins; the ONLY
-    exchanges are (1) the A1 repartition on src — hash(src) satisfies
-    the groupBy(src, c_dst) distribution, so the aggregation runs
-    exchange-free on top and its output stays hash(src) for all
-    downstream per-vertex joins — (2) the community-keyed comm
-    aggregation, and (3) the community-keyed aug⋈comm join (the one
-    legitimately community-partitioned step). state must be
-    (id, community, k), hash(id)-partitioned on the big path.
+    exchanges are (1) the A1 repartition of the gather output onto the
+    scored vertex — hash(src) satisfies the groupBy(src, c_dst)
+    distribution, so the aggregation runs exchange-free on top and its
+    output stays hash(src) for all downstream per-vertex joins —
+    (2) the community-keyed comm aggregation, and (3) the
+    community-keyed aug⋈comm join (the one legitimately
+    community-partitioned step). state must be (id, community, k),
+    hash(id)-partitioned on the big path.
+
+    Gather orientation: labels join on the SRC endpoint, scored vertex
+    = the DST endpoint (aliased back to "src" for the downstream
+    schema). The edge table is symmetric (louvain's input contract),
+    so the per-vertex (neighboring community, weight) multiset is
+    identical to the dst-side join — and a src-partitioned edge layout
+    (the K1 bucketed table) feeds the join with zero exchange.
     """
     labels = state.select(F.col("id").alias("nid"), F.col("community").alias("c_dst"))
     labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
@@ -130,8 +138,8 @@ def _round_tables(
     # A1 gather: e(v -> C) over non-self-loop edges (P3 guard)
     gather = (
         e.filter(F.col("src") != F.col("dst"))
-        .join(labels, e.dst == F.col("nid"))
-        .select("src", "c_dst", "weight")
+        .join(labels, e.src == F.col("nid"))
+        .select(F.col("dst").alias("src"), "c_dst", "weight")
     )
     if small:
         w_vc = gather.groupBy("src", "c_dst").agg(F.sum("weight").alias("w"))
@@ -506,6 +514,7 @@ def louvain(
     broadcast_threshold: int = 5_000_000,
     salt_hubs: bool | None = None,
     hub_degree_threshold: int = 1_000_000,
+    pre_partitioned: bool = False,
 ) -> LouvainResult:
     """Run multi-level Louvain on a symmetric weighted edge table
     (both directions present, self-loops once — graph.build.build_graph
@@ -529,6 +538,10 @@ def louvain(
     and switches the A1 aggregation to the hub-safe combine-first
     shape above ``hub_degree_threshold`` (SURVEY.md §4 X2); labels
     identical either way.
+    pre_partitioned=True: ``edges`` is already hash(src)-partitioned
+    at the session partition count (the K1 bucketed layout) — the
+    big path's one-time level-0 edge repartition is skipped (the
+    gather joins along src, so the bucketing feeds it directly).
     """
     e = _normalize(edges).persist()
     # one scan for BOTH the total weight (M, utils.cu:114) and the
@@ -629,15 +642,17 @@ def louvain(
     q_final = 0.0
     levels_done = 0
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # big path: dst-partition the edge table once per level so the
+    # big path: src-partition the edge table once per level so the
     # per-round gather join never re-exchanges the edge side
     # (preserve_partitioning: a plain AQE-era checkpoint would lose the
-    # hash(dst) partitioning and the repartition would buy nothing)
+    # hash partitioning and the repartition would buy nothing). With
+    # pre_partitioned the K1 bucketed layout already provides
+    # hash(src) — zero initial exchange.
     cur_edges = (
         e
-        if small
+        if small or pre_partitioned
         else barrier(
-            e.repartition(n_part, "dst"),
+            e.repartition(n_part, "src"),
             reset_stats=True,
             preserve_partitioning=True,
         )
@@ -721,7 +736,7 @@ def louvain(
             .agg(F.sum("weight").alias("weight"))
         )
         if not small:
-            contracted = contracted.repartition(n_part, "dst")
+            contracted = contracted.repartition(n_part, "src")
         nxt = barrier(
             contracted,
             reset_stats=not small,

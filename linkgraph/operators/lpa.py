@@ -46,6 +46,7 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     run_id: str = "lpa",
     runner: SuperstepRunner | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Returns (id:long, label:long). edges: undirected weighted table
     (both directions present, e.g. from graph.build.build_graph);
@@ -55,18 +56,25 @@ def label_propagation(
     turns a salted two-level (vid, label) aggregation on automatically
     above ``hub_degree_threshold`` (SURVEY.md §4 X2): the salt derives
     from the neighbor id, so a hub's (vid, popular-label) rows spread
-    over n_salts partial reducers — result exact (sum is associative)."""
+    over n_salts partial reducers — result exact (sum is associative).
+
+    pre_partitioned=True: ``edges`` is already the symmetric table,
+    hash(src)-partitioned at the session partition count (the K1
+    bucketed layout): the one-time repartition is skipped and the
+    gather runs along the co-located src side (aggregating per dst) —
+    identical labels by symmetry, zero initial exchange."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = (
-        edges.select(
-            F.col("src").cast("long"),
-            F.col("dst").cast("long"),
-            F.coalesce(F.col("weight"), F.lit(1.0)).cast("double").alias("weight"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .repartition(n_part, "dst")
-        .persist()
-    )
+    e = edges.select(
+        F.col("src").cast("long"),
+        F.col("dst").cast("long"),
+        F.coalesce(F.col("weight"), F.lit(1.0)).cast("double").alias("weight"),
+    ).filter(F.col("src") != F.col("dst"))
+    if pre_partitioned:
+        gather_key, agg_key = "src", "dst"
+    else:
+        e = e.repartition(n_part, "dst")
+        gather_key, agg_key = "dst", "src"
+    e = e.persist()
 
     verts = (
         e.select(F.col("src").alias("id"))
@@ -98,8 +106,8 @@ def label_propagation(
         labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
         # A1 gather: (vertex, neighboring label, weight); the vertex's
         # own label rides along as a zero-weight self row (no cur join)
-        contribs = e.join(labels, e.dst == F.col("nid")).select(
-            F.col("src").alias("vid"),
+        contribs = e.join(labels, e[gather_key] == F.col("nid")).select(
+            F.col(agg_key).alias("vid"),
             "nbr_label",
             "weight",
             F.lit(False).alias("is_cur"),

@@ -263,10 +263,12 @@ def test_cc_lpa_big_path_labels_match_broadcast_path(spark):
 
 
 def test_louvain_move_round_edge_side_exchange_saved(spark):
-    """Louvain big path: the dst-partitioned, partitioning-preserving
+    """Louvain big path: the src-partitioned, partitioning-preserving
     edge checkpoint must remove the per-round edge-table exchange —
     the move-round plan over it has strictly fewer Exchanges than the
-    same plan over raw edges (self-calibrating assertion)."""
+    same plan over raw edges (self-calibrating assertion). (The gather
+    joins labels on the SRC endpoint, so hash(src) — the K1 bucketed
+    layout's key — feeds it directly.)"""
     from linkgraph.graph.build import build_graph
     from linkgraph.operators.louvain import _k_table, _move_round
     from linkgraph.plans.superstep import barrier
@@ -274,7 +276,7 @@ def test_louvain_move_round_edge_side_exchange_saved(spark):
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e_raw = build_graph(toy_edges_df(spark)).select("src", "dst", "weight")
-    e_pre = barrier(e_raw.repartition(n_part, "dst"), preserve_partitioning=True)
+    e_pre = barrier(e_raw.repartition(n_part, "src"), preserve_partitioning=True)
 
     def exchanges(e):
         verts = e.select(F.col("src").alias("id")).distinct()
@@ -294,14 +296,16 @@ def test_louvain_big_path_round_exchange_count_locked(spark):
     (id, community, k) state, one full move round plans EXACTLY 4
     Exchanges —
 
-      1. the A1 gather repartition on src (edge-sized, inherent),
+      1. the A1 repartition of the gather output onto the scored
+         vertex (edge-sized, inherent),
       2. the community-totals groupBy(community),
       3. the community-keyed aug⋈comm join (the one legitimately
          community-partitioned step),
       4. the argmax groupBy(vid);
 
-    the gather join, the state⋈w_vc join, and the W4 update join are
-    exchange-free shuffle-hash joins (no SortMergeJoin anywhere)."""
+    the gather join (src-partitioned edges — the K1 bucketed key),
+    the state⋈w_vc join, and the W4 update join are exchange-free
+    shuffle-hash joins (no SortMergeJoin anywhere)."""
     from linkgraph.operators.louvain import _apply_moves, _round_tables, _k_table
     from linkgraph.plans.superstep import barrier
 
@@ -313,7 +317,7 @@ def test_louvain_big_path_round_exchange_count_locked(spark):
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
-    e = barrier(sym.repartition(n_part, "dst"), preserve_partitioning=True)
+    e = barrier(sym.repartition(n_part, "src"), preserve_partitioning=True)
     verts = e.select(F.col("src").alias("id")).distinct()
     # a GENERAL round state (real community column from a join — the
     # shape of every round after the first move); the identity start
@@ -630,3 +634,67 @@ def test_lpa_superstep_exchange_count(spark):
     outer = plan.split("InMemoryRelation")[0]
     assert "SortMergeJoin" not in outer
     assert _outer_exchanges(plan) <= 2, plan
+
+
+def test_bucketed_k1_feeds_cc_lpa_louvain(spark, tmp_path):
+    """VERDICT r3 #4: the catalog-known bucketed K1 layout now feeds
+    CC, LPA, and Louvain via pre_partitioned flags (mirroring
+    pagerank): identical labels to the default path, and the superstep
+    gather over the bucketed table plans strictly fewer exchanges than
+    over the raw table (zero on the edge side — self-calibrating
+    contrast, the test_louvain_move_round_edge_side_exchange_saved
+    pattern)."""
+    from linkgraph.graph.build import build_graph, read_adjacency_table, write_adjacency_table
+    from linkgraph.operators.components import connected_components
+    from linkgraph.operators.louvain import louvain
+    from linkgraph.operators.lpa import label_propagation
+    from tests.fixtures import toy_edges_df
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g = build_graph(toy_edges_df(spark))  # symmetric, deduped
+    spark.sql("DROP TABLE IF EXISTS t_adj_ops")
+    write_adjacency_table(g, "t_adj_ops", str(tmp_path / "adj_ops"), num_buckets=n_part)
+    t = read_adjacency_table(spark, "t_adj_ops")
+
+    # plan audit: one CC gather (join labels on src, min per dst) over
+    # the bucketed table vs the same over a raw re-read of the files
+    raw = spark.read.parquet(str(tmp_path / "adj_ops"))
+
+    def gather_exchanges(e):
+        labels = e.select(F.col("src").alias("id")).distinct().withColumn(
+            "component", F.col("id")
+        ).hint("shuffle_hash")
+        nm = (
+            e.join(labels, e.src == labels.id)
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.min("component").alias("m"))
+        )
+        nm.collect()
+        return _plan(nm).split("== Initial Plan ==")[0].count("Exchange")
+
+    assert gather_exchanges(t) < gather_exchanges(raw)
+
+    # result equality across the two paths for all three operators
+    cc_a = {(r.id, r.component) for r in connected_components(spark, g).collect()}
+    cc_b = {
+        (r.id, r.component)
+        for r in connected_components(spark, t, pre_partitioned=True).collect()
+    }
+    assert cc_a == cc_b
+
+    lpa_a = {(r.id, r.label) for r in label_propagation(spark, g, max_iter=4).collect()}
+    lpa_b = {
+        (r.id, r.label)
+        for r in label_propagation(
+            spark, t, max_iter=4, pre_partitioned=True
+        ).collect()
+    }
+    assert lpa_a == lpa_b
+
+    lv_a = louvain(spark, g)
+    lv_b = louvain(spark, t, pre_partitioned=True)
+    a = {(r.id, r.community) for r in lv_a.assignment.collect()}
+    b = {(r.id, r.community) for r in lv_b.assignment.collect()}
+    assert a == b
+    assert lv_a.modularity == lv_b.modularity
+    spark.sql("DROP TABLE t_adj_ops")
