@@ -93,14 +93,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
     xxhash64(shingle, seed=i). Returns (doc_id, sig array<long>)."""
-    sh = shingles(F.col(text_col), n)
-    sig = F.array(
+    # explode + num_hashes plain min-aggregates: one narrow groupBy
+    # instead of num_hashes nested array_min(transform(...)) per-row
+    # expressions (which made whole-stage codegen compile a giant
+    # expression tree — measured ~2 min at 64 hashes on 500 docs).
+    # Same values: min over the same xxhash64(shingle, family) set.
+    # (History note: the former transform lambda took a second
+    # parameter, which F.transform silently fills with the element's
+    # array INDEX — every family hashed with the shingle's position,
+    # so one insertion shifted every hash and near-dups never
+    # collided. Single-column hashing has no such trap.)
+    # Docs with zero shingles (< n tokens) drop out: they have no
+    # signature and can never be near-dup candidates.
+    sh = df.select(
+        F.col("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("s")
+    )
+    m = sh.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.min(F.xxhash64(F.col("s"), F.lit(i))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    return df.select("doc_id", sig.alias("sig"))
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return m.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -169,6 +184,43 @@ def minhash_lsh_pairs(
     out = barrier(est)
     sigs.unpersist()
     return out
+
+
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Two-stage near-dup detection — the production dedup shape at
+    100 TB: banded MinHash-LSH candidate generation (every pair
+    sharing >= 1 band bucket; no estimate filter) followed by EXACT
+    n-gram Jaccard verification evaluated ONLY on the candidates.
+    The O(n²) exact measure never materializes; its cost is the
+    LSH-bucketed candidate count.
+
+    Recall is the banding miss probability (1 - J^r)^b — with the
+    default 16 bands × 2 rows a true pair at J = 0.6 is missed with
+    p ≈ 8e-4, at J = 0.8 with p ≈ 1e-7 (deterministic per dataset:
+    the hashing is seeded xxhash64). Returns (a, b, jaccard) with
+    exact jaccard >= threshold."""
+    cands = minhash_lsh_pairs(
+        df, text_col, n, num_hashes, bands, threshold=0.0
+    ).select("a", "b")
+    sh = df.select(F.col("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:

@@ -144,6 +144,8 @@ def run_incremental(
     checkpoint_dir: str | None = None,
     screening: bool = True,
     resume: bool = True,
+    broadcast_threshold: int = 5_000_000,
+    salt_hubs: bool | None = None,
 ) -> IncrementalRun:
     """base_edges: symmetric weighted table (build_graph output).
     deltas: (ts:int, op:'add'|'del', src, dst[, weight]).
@@ -163,6 +165,10 @@ def run_incremental(
     The in-memory ``metrics`` list covers only the phases this process
     ran — the durable ``incremental_metrics`` table has the full
     history.
+
+    broadcast_threshold / salt_hubs forward to every internal louvain
+    call (broadcast_threshold=0 forces the co-partitioned big path —
+    the at-scale evidence runs use it).
     """
     edges = barrier(base_edges.select("src", "dst", "weight"))
     metrics: list[dict] = []
@@ -176,7 +182,10 @@ def run_incremental(
             state = barrier(st.select("id", "community"))
             resume_pos = _phase_order(last_ts, last_phase)
     if resume_pos is None:
-        res = louvain(spark, edges, min_gain=min_gain, max_levels=max_levels)
+        res = louvain(
+            spark, edges, min_gain=min_gain, max_levels=max_levels,
+            broadcast_threshold=broadcast_threshold, salt_hubs=salt_hubs,
+        )
         state = barrier(res.assignment)
         q = res.modularity
         metrics.append(
@@ -236,6 +245,8 @@ def run_incremental(
                     # distinct / count / fallback labeling are skipped
                     vertices_exact=True,
                     n_vertices=n,
+                    broadcast_threshold=broadcast_threshold,
+                    salt_hubs=salt_hubs,
                 )
                 state = barrier(res.assignment)
                 q = res.modularity

@@ -1,0 +1,211 @@
+"""Incremental-at-scale evidence (VERDICT r3 #5): one run of the
+per-timestep incremental loop on the scaling graph (the same
+deterministic dense link graph BENCH/BASELINE.md uses — ~61.7M
+directed edges at 4M vertices, symmetrized to ~123M rows), with the
+co-partitioned BIG path forced (broadcast_threshold=0) and the bench's
+localized-delta fixture rule (one small converged community; delete up
+to 20 of its intra edges at ts 0, re-add them at ts 1).
+
+Reports the reference's actual pitch at a scale where fixed overhead
+does not dominate: R% << 1 AND per-phase warm wall << the static
+full-run wall. Prints ONE JSON line and appends the evidence section
+to BENCH/BASELINE.md (replacing any previous section).
+
+Usage: python tools/inc_scale_bench.py [n_vertices] [cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+EDGES = "/tmp/linkgraph_scale_edges"
+SYM = "/tmp/linkgraph_scale_sym"
+
+MARK = "## Incremental tier at scale"
+
+
+def main() -> None:
+    n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    from linkgraph.session import get_spark
+
+    spark = get_spark(
+        "inc-scale", master=f"local[{cpus}]", shuffle_partitions=64
+    )
+    from pyspark.sql import functions as F
+    from linkgraph.sources.edgegen import generate_edges
+    import linkgraph.streaming.incremental as INC
+
+    if not os.path.exists(os.path.join(EDGES, "_SUCCESS")):
+        e = generate_edges(spark, n_vertices, seed=42, base_out=12, partitions=128)
+        e.write.mode("overwrite").parquet(EDGES)
+    if not os.path.exists(os.path.join(SYM, "_SUCCESS")):
+        d = spark.read.parquet(EDGES)
+        rev = d.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        (
+            d.unionByName(rev)
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+            .write.mode("overwrite")
+            .parquet(SYM)
+        )
+    edges = spark.read.parquet(SYM)
+    n_edges = edges.count()
+
+    # per-call wall attribution: wrap the loop's internal louvain
+    calls: list[tuple[float, int, bool]] = []
+    orig = INC.louvain
+
+    def timed_louvain(*a, **kw):
+        t0 = time.perf_counter()
+        res = orig(*a, **kw)
+        calls.append(
+            (time.perf_counter() - t0, res.levels, kw.get("init_partition") is not None)
+        )
+        return res
+
+    INC.louvain = timed_louvain
+
+    # localized-delta fixture (bench.py's rule, untimed prep): needs a
+    # converged partition first — reuse the static run INSIDE
+    # run_incremental by building deltas from a separate static pass?
+    # No: one static pass here doubles the cost. Instead pick the
+    # community from a CHEAP structural proxy: the smallest CC would be
+    # degenerate on this connected graph, so run the real static pass
+    # once and reuse its assignment as the warm state via
+    # checkpoint_dir resume (the static phase is persisted, the
+    # incremental run resumes past it — no duplicated static work).
+    ckpt = "/tmp/linkgraph_inc_scale_ckpt"
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    static_run = INC.run_incremental(
+        spark,
+        edges,
+        spark.createDataFrame([], "ts int, op string, src long, dst long, weight double"),
+        checkpoint_dir=ckpt,
+        broadcast_threshold=0,
+        salt_hubs=False,
+    )
+    t_static_total = time.perf_counter() - t0
+    assign = static_run.state.persist()
+    assign.count()
+    t_static_call = calls[0][0] if calls else t_static_total
+
+    canon = edges.filter(F.col("src") < F.col("dst"))
+    a_s = assign.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    a_d = assign.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    intra = (
+        canon.join(a_s, "src")
+        .join(a_d, "dst")
+        .filter(F.col("cs") == F.col("cd"))
+        .select("src", "dst", "weight", F.col("cs").alias("community"))
+        .persist()
+    )
+    sizes = assign.groupBy("community").count()
+    target = (
+        intra.groupBy("community")
+        .agg(F.count(F.lit(1)).alias("ec"))
+        .filter(F.col("ec") >= 5)
+        .join(sizes, "community")
+        .orderBy("count", "community")
+        .first()
+    )
+    sel = (
+        intra.filter(F.col("community") == target["community"])
+        .orderBy("src", "dst")
+        .limit(20)
+        .select("src", "dst", "weight")
+        .persist()
+    )
+    n_delta = sel.count()
+    dels = sel.select(
+        F.lit(0).alias("ts"), F.lit("del").alias("op"), "src", "dst", "weight"
+    )
+    adds = sel.select(
+        F.lit(1).alias("ts"), F.lit("add").alias("op"), "src", "dst", "weight"
+    )
+    deltas = dels.unionByName(adds).persist()
+    deltas.count()
+    intra.unpersist()
+
+    # resume past the persisted static phase: only the two warm phases
+    # run here (the durable-resume machinery doubling as the A/B rig)
+    calls.clear()
+    t0 = time.perf_counter()
+    run = INC.run_incremental(
+        spark,
+        edges,
+        deltas,
+        checkpoint_dir=ckpt,
+        broadcast_threshold=0,
+        salt_hubs=False,
+    )
+    run.state.count()
+    t_phases = time.perf_counter() - t0
+    INC.louvain = orig
+
+    fracs = [m["r_frac"] for m in run.metrics if m["phase"] != "static"]
+    phase_walls = [round(dt, 2) for dt, _, warm in calls if warm]
+    result = {
+        "n_vertices": n_vertices,
+        "n_sym_edge_rows": n_edges,
+        "delta_edges": n_delta,
+        "target_comm_size": int(target["count"]),
+        "static_louvain_sec": round(t_static_call, 2),
+        "phases_total_sec": round(t_phases, 2),
+        "phase_louvain_sec": phase_walls,
+        "r_frac": [round(f, 6) for f in fracs],
+        "r_frac_max": round(max(fracs), 6) if fracs else None,
+        "phase_over_static": round(max(phase_walls) / t_static_call, 4)
+        if phase_walls
+        else None,
+    }
+    print(json.dumps(result))
+
+    # append/replace the BENCH/BASELINE.md evidence section
+    path = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    with open(path) as f:
+        doc = f.read()
+    if MARK in doc:
+        doc = doc[: doc.index(MARK)].rstrip() + "\n"
+    doc += f"""
+{MARK}
+
+Same graph as above, symmetrized ({n_edges:,} symmetric edge rows,
+{n_vertices:,} vertices), co-partitioned big path forced
+(broadcast_threshold=0), localized deltas (bench.py's fixture rule:
+{n_delta} intra edges of one {int(target['count'])}-member converged
+community deleted at ts 0, re-added at ts 1), local[{cpus}] / 64
+shuffle partitions:
+
+| phase | wall (s) | R% of vertices re-evaluated |
+|---|---|---|
+| static full Louvain | {t_static_call:,.1f} | 100 |
+"""
+    for (dt, levels, _), frac, m in zip(
+        [c for c in calls if c[2]], fracs, [m for m in run.metrics if m["phase"] != "static"]
+    ):
+        doc += f"| ts {m['ts']} {m['phase']} (warm, {levels} levels) | {dt:,.1f} | {100*frac:.2f} |\n"
+    doc += f"""
+Delta screening + warm start at this scale: every phase re-evaluates
+R% <= {100*max(fracs):.2f}% of vertices and costs <= {max(phase_walls):,.1f}s —
+{t_static_call/max(phase_walls):,.1f}x cheaper than the {t_static_call:,.1f}s
+static rerun (the reference's headline pitch, main_louvain.cpp:1348).
+Measured {time.strftime('%Y-%m-%d')} on round-4 code.
+"""
+    with open(path, "w") as f:
+        f.write(doc)
+
+
+if __name__ == "__main__":
+    main()
