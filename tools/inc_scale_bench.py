@@ -192,10 +192,19 @@ shuffle partitions:
 |---|---|---|
 | static full Louvain | {t_static_call:,.1f} | 100 |
 """
-    for (dt, levels, _), frac, m in zip(
-        [c for c in calls if c[2]], fracs, [m for m in run.metrics if m["phase"] != "static"]
-    ):
-        doc += f"| ts {m['ts']} {m['phase']} (warm, {levels} levels) | {dt:,.1f} | {100*frac:.2f} |\n"
+    warm_calls = iter([c for c in calls if c[2]])
+    for m, frac in zip([m for m in run.metrics if m["phase"] != "static"], fracs):
+        if m["r_size"] > 0:
+            dt, levels, _ = next(warm_calls)
+            doc += (
+                f"| ts {m['ts']} {m['phase']} (warm, {levels} levels) "
+                f"| {dt:,.1f} | {100*frac:.2f} |\n"
+            )
+        else:
+            doc += (
+                f"| ts {m['ts']} {m['phase']} (R empty — screening found "
+                f"nothing; Louvain skipped) | ~0 | 0.00 |\n"
+            )
     doc += f"""
 Delta screening + warm start at this scale: every phase re-evaluates
 R% <= {100*max(fracs):.2f}% of vertices and costs <= {max(phase_walls):,.1f}s —
