@@ -575,14 +575,22 @@ def louvain(
     salted = False
     if not small:
         if salt_hubs is None:
-            max_deg = (
+            # two-term probe: absolute degree AND reducer row share
+            # (see pagerank.py)
+            prow = (
                 e.groupBy("src")
                 .agg(F.count(F.lit(1)).alias("d"))
-                .agg(F.max("d"))
-                .first()[0]
-                or 0
+                .agg(F.max("d").alias("mx"), F.sum("d").alias("tot"))
+                .first()
             )
-            salted = int(max_deg) > hub_degree_threshold
+            max_deg = int(prow["mx"] or 0)
+            rows_per_reducer = float(prow["tot"] or 0) / max(
+                int(spark.conf.get("spark.sql.shuffle.partitions")), 1
+            )
+            salted = (
+                max_deg > hub_degree_threshold
+                and max_deg > rows_per_reducer / 4.0
+            )
         else:
             salted = salt_hubs
     metrics: list[dict] = []

@@ -84,14 +84,20 @@ def label_propagation(
     n = verts.count()
     small = n <= broadcast_threshold
     if salt_hubs is None:
-        max_deg = (
+        # two-term probe: absolute degree AND reducer row share (see
+        # pagerank.py — salting below genuine pin-a-reducer scale is
+        # pure fixed overhead)
+        row = (
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
-            .agg(F.max("d"))
-            .first()[0]
-            or 0
+            .agg(F.max("d").alias("mx"), F.sum("d").alias("tot"))
+            .first()
         )
-        salt_hubs = int(max_deg) > hub_degree_threshold
+        max_deg = int(row["mx"] or 0)
+        rows_per_reducer = float(row["tot"] or 0) / max(n_part, 1)
+        salt_hubs = (
+            max_deg > hub_degree_threshold and max_deg > rows_per_reducer / 4.0
+        )
     if small:
         state = verts.withColumn("label", F.col("id"))
     else:
