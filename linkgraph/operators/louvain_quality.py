@@ -87,19 +87,21 @@ def _round_core(
     in[c]: every symmetric intra-community row counted once plus
     self-loops) — derived from the gather output instead of the former
     second edge double-join, so the edge table is scanned/joined
-    exactly ONCE per round. Big path: e must be dst-partitioned (the
-    per-level checkpoint); the gather join exchanges only the
-    vertex-sized label side, the A1 aggregation repartitions on src,
-    and the w_vc⋈per_node join is an exchange-free shuffle-hash join
-    (plan-audited)."""
+    exactly ONCE per round. Big path: e must be src-partitioned (the
+    per-level checkpoint, or the K1 bucketed layout directly); the
+    gather joins labels along the co-located SRC endpoint and scores
+    the DST endpoint (aliased back to "src" — identical multiset per
+    vertex on the symmetric input), the A1 aggregation repartitions
+    onto the scored vertex, and the w_vc⋈per_node join is an
+    exchange-free shuffle-hash join (plan-audited)."""
     labels = per_node.select(
         F.col("id").alias("nid"), F.col("community").alias("c_dst")
     )
     labels = F.broadcast(labels) if small else labels.hint("shuffle_hash")
     gather = (
         e.filter(F.col("src") != F.col("dst"))
-        .join(labels, e.dst == F.col("nid"))
-        .select("src", "c_dst", "weight")
+        .join(labels, e.src == F.col("nid"))
+        .select(F.col("dst").alias("src"), "c_dst", "weight")
     )
     if not small:
         gather = gather.repartition(n_part, "src")
@@ -275,19 +277,29 @@ def louvain_generalized(
     max_rounds_per_level: int = 50,
     max_levels: int = 10,
     broadcast_threshold: int = 5_000_000,
+    pre_partitioned: bool = False,
 ) -> GeneralizedLouvainResult:
     """Multi-level Louvain under quality function ``quality_id`` (0-9,
     the reference's -q ids). Level-0 preprocessing (self-loop injection
     + graph_weighting for CondorA/DP, one-time max_w) is applied
     internally, matching the reference driver's call order
     (main_louvain.cpp:1022-1045); add_selfloops is idempotent, so
-    callers that already injected loops are unaffected."""
+    callers that already injected loops are unaffected.
+    pre_partitioned=True: ``edges`` is already hash(src)-partitioned
+    at the session partition count (the K1 bucketed layout) — the big
+    path's one-time level-0 repartition is skipped. NOTE: ids 4/7
+    reweight/extend the edge table at level 0 (graph_weighting /
+    add_selfloops), which invalidates the layout; the flag is ignored
+    for those ids."""
     params = dict(params or {})
     e = edges.select(
         F.col("src").cast("long"),
         F.col("dst").cast("long"),
         F.coalesce(F.col("weight"), F.lit(1.0)).cast("double").alias("weight"),
     )
+    # ids 4/7 rebuild the edge table at level 0 (graph_weighting /
+    # add_selfloops) — any caller-provided layout is gone afterwards
+    pre_partitioned = pre_partitioned and quality_id not in (4, 7)
     side = 0.0
     max_w = 1.0
     if quality_id == 7:
@@ -324,13 +336,14 @@ def louvain_generalized(
 
     kappa_min = params.get("kappa_min", 0.0)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # big path: dst-partition the edge table once per level (the id-0
-    # machinery) so no round ever re-exchanges the edge side
+    # big path: src-partition the edge table once per level (the id-0
+    # machinery) so no round ever re-exchanges the edge side; with
+    # pre_partitioned the K1 bucketed layout already provides hash(src)
     cur_edges = (
         e
-        if small
+        if small or pre_partitioned
         else barrier(
-            e.repartition(n_part, "dst"),
+            e.repartition(n_part, "src"),
             reset_stats=True,
             preserve_partitioning=True,
         )
@@ -454,7 +467,7 @@ def louvain_generalized(
             .agg(F.sum("weight").alias("weight"))
         )
         if not small:
-            contracted = contracted.repartition(n_part, "dst")
+            contracted = contracted.repartition(n_part, "src")
         nxt = barrier(
             contracted,
             reset_stats=not small,

@@ -487,11 +487,11 @@ def _generalized_round_plan(spark, e, n_part, general_state: bool):
 
 
 def test_louvain_generalized_big_path_no_edge_exchange(spark):
-    """louvain_generalized round over dst-partitioned edges: the edge
-    table is joined exactly once (the gather) with no re-exchange —
-    no dst-keyed Exchange anywhere, and the only explicit repartition
-    is the A1 hash(src). Over RAW edges the same round must exchange
-    the edge side on dst (self-calibrating contrast). The former
+    """louvain_generalized round over src-partitioned edges (the K1
+    bucketed key): the edge table is joined exactly once (the gather)
+    with no re-exchange, and the only explicit repartition is the A1
+    onto the scored vertex. Over RAW edges the same round must
+    exchange the edge side (self-calibrating contrast). The former
     second edge double-join (in_c) is structurally gone."""
     from linkgraph.plans.superstep import barrier
 
@@ -504,17 +504,19 @@ def test_louvain_generalized_big_path_no_edge_exchange(spark):
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
 
-    pre = _generalized_round_plan(
+    pre_plan = _generalized_round_plan(
         spark,
-        barrier(sym.repartition(n_part, "dst"), preserve_partitioning=True),
+        barrier(sym.repartition(n_part, "src"), preserve_partitioning=True),
         n_part,
         general_state=True,
     )
-    assert "Exchange hashpartitioning(dst" not in pre, pre
-    assert pre.count("REPARTITION_BY_NUM") == 1, pre  # the A1 hash(src)
-
-    raw = _generalized_round_plan(spark, sym, n_part, general_state=True)
-    assert "Exchange hashpartitioning(dst" in raw, raw
+    raw_plan = _generalized_round_plan(spark, sym, n_part, general_state=True)
+    assert pre_plan.count("REPARTITION_BY_NUM") == 1, pre_plan  # the A1
+    # the raw round pays one extra exchange: the edge side of the gather
+    assert raw_plan.count("Exchange") == pre_plan.count("Exchange") + 1, (
+        pre_plan,
+        raw_plan,
+    )
 
 
 def test_louvain_generalized_big_path_round_exchange_count_locked(spark):
@@ -547,7 +549,7 @@ def test_louvain_generalized_big_path_round_exchange_count_locked(spark):
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     )
-    e = barrier(sym.repartition(n_part, "dst"), preserve_partitioning=True)
+    e = barrier(sym.repartition(n_part, "src"), preserve_partitioning=True)
 
     plan = _generalized_round_plan(spark, e, n_part, general_state=True)
     assert "SortMergeJoin" not in plan, plan
