@@ -29,7 +29,7 @@ min-id labels.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.plans.superstep import SuperstepRunner, barrier, release
@@ -117,23 +117,28 @@ def connected_components(
             # the state is partitioned on id — exchange-free
             # shuffle-hash update join
             nbr_min = nbr_min.hint("shuffle_hash")
-        return st.join(nbr_min, st.id == nbr_min.vid, "left").select(
+        out = st.join(nbr_min, st.id == nbr_min.vid, "left").select(
             st.id,
             st.component.alias("old_component"),
             F.least(st.component, F.coalesce(F.col("nbr_min"), st.component)).alias(
                 "component"
             ),
         )
+        # changed-count rides the barrier's materialization (no
+        # separate per-superstep count job)
+        obs = Observation()
+        ctx["obs"] = obs
+        return out.observe(
+            obs,
+            F.sum(
+                (F.col("component") != F.col("old_component")).cast("long")
+            ).alias("c"),
+        )
+
+    ctx: dict[str, Observation] = {}
 
     def converge(old: DataFrame, new: DataFrame, i: int) -> tuple[bool, float]:
-        changed = (
-            new.agg(
-                F.sum(
-                    (F.col("component") != F.col("old_component")).cast("long")
-                ).alias("c")
-            ).first()["c"]
-            or 0
-        )
+        changed = int(ctx.pop("obs").get["c"] or 0)
         return changed == 0, float(changed)
 
     runner = runner or SuperstepRunner(

@@ -29,7 +29,7 @@ partial aggregation; the arg-max uses ``max_by`` over a struct
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.plans.superstep import SuperstepRunner, barrier
@@ -153,19 +153,24 @@ def label_propagation(
         )
         if not small:
             best = best.hint("shuffle_hash")
-        return st.join(best, st.id == best.vid, "left").select(
+        out = st.join(best, st.id == best.vid, "left").select(
             st.id,
             st.label.alias("old_label"),
             F.coalesce(F.col("best_label"), st.label).alias("label"),
         )
+        # changed-count rides the barrier's materialization (no
+        # separate per-superstep count job)
+        obs = Observation()
+        ctx["obs"] = obs
+        return out.observe(
+            obs,
+            F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("c"),
+        )
+
+    ctx: dict[str, Observation] = {}
 
     def converge(old: DataFrame, new: DataFrame, i: int) -> tuple[bool, float]:
-        changed = (
-            new.agg(
-                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("c")
-            ).first()["c"]
-            or 0
-        )
+        changed = int(ctx.pop("obs").get["c"] or 0)
         return changed == 0, float(changed)
 
     runner = runner or SuperstepRunner(

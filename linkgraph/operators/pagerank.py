@@ -29,7 +29,7 @@ Scale design — ONE exchange per superstep on the big path:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from linkgraph.plans.superstep import SuperstepRunner
@@ -166,7 +166,7 @@ def pagerank(
             # incoming is hash-partitioned on dst by the agg; with the
             # state partitioned on id this join is exchange-free too
             incoming = incoming.hint("shuffle_hash")
-        return st.join(incoming, st.id == incoming.dst, "left").select(
+        out = st.join(incoming, st.id == incoming.dst, "left").select(
             st.id,
             st.is_dangling,
             st.score.alias("old_score"),
@@ -174,14 +174,21 @@ def pagerank(
                 "score"
             ),
         )
+        # convergence scalars ride the barrier's own materialization
+        # (zero extra jobs per superstep): max per-vertex delta + the
+        # NEXT superstep's dangling mass
+        obs = Observation()
+        ctx["obs"] = obs
+        return out.observe(
+            obs,
+            F.max(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
+            F.sum(
+                F.when(F.col("is_dangling"), F.col("score")).otherwise(0.0)
+            ).alias("dmass"),
+        )
 
     def converge(old: DataFrame, new: DataFrame, i: int) -> tuple[bool, float]:
-        # single action over the barriered frame: max per-vertex delta
-        # + dangling mass for the NEXT superstep's base term
-        row = new.agg(
-            F.max(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
-            F.sum(F.when(F.col("is_dangling"), F.col("score")).otherwise(0.0)).alias("dmass"),
-        ).first()
+        row = ctx.pop("obs").get
         delta = float(row["delta"])
         ctx["dangling"] = float(row["dmass"] or 0.0)
         return delta < tol, delta
