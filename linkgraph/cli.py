@@ -9,9 +9,13 @@ Usage (cluster):
 Local smoke:
     python linkgraph/cli.py pagerank --edges /tmp/edges --output /tmp/pr
 
-Commands: ingest-pages, pagerank, cc, lpa, louvain, triangles,
-incremental. Every command reads/writes parquet; ``--checkpoint-dir``
-enables mid-run resumability (durable superstep checkpoints).
+Commands: ingest-pages, build-adjacency, pagerank, cc, lpa, louvain,
+triangles, incremental. Every command reads/writes parquet;
+``--checkpoint-dir`` enables mid-run resumability (durable superstep /
+per-phase checkpoints). Graph commands accept EITHER ``--edges`` (a
+parquet path) or ``--table`` (a catalog-known src-bucketed adjacency
+table written by ``build-adjacency`` — operators then run
+pre-partitioned, skipping their one-time repartition).
 """
 
 from __future__ import annotations
@@ -27,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
 
     def common(sp):
         sp.add_argument("--edges", help="parquet path of (src,dst,weight)")
+        sp.add_argument(
+            "--table",
+            help="catalog name of a bucketed adjacency table "
+            "(build-adjacency output) — read pre-partitioned",
+        )
         sp.add_argument("--output", required=True)
         sp.add_argument("--checkpoint-dir")
         sp.add_argument("--shuffle-partitions", type=int, default=None)
@@ -34,6 +43,15 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("ingest-pages", help="pages parquet -> edges + dictionary")
     sp.add_argument("--pages", required=True)
     sp.add_argument("--output", required=True)
+
+    sp = sub.add_parser(
+        "build-adjacency",
+        help="edges parquet -> catalog-known src-bucketed K1 table",
+    )
+    sp.add_argument("--edges", required=True)
+    sp.add_argument("--output", required=True, help="table storage path")
+    sp.add_argument("--table", required=True, help="catalog table name")
+    sp.add_argument("--num-buckets", type=int, default=32)
 
     for name in ("pagerank", "cc", "lpa", "louvain", "triangles"):
         sp = sub.add_parser(name)
@@ -68,6 +86,11 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="full re-evaluation every phase (the GPU driver's -f mode)",
     )
+    sp.add_argument(
+        "--no-resume",
+        action="store_true",
+        help="ignore an existing per-phase checkpoint and start fresh",
+    )
 
     args = p.parse_args(argv)
 
@@ -85,7 +108,27 @@ def main(argv: list[str] | None = None) -> int:
         dictionary.write.mode("overwrite").parquet(f"{args.output}/url_dict")
         return 0
 
-    edges = spark.read.parquet(args.edges)
+    if args.cmd == "build-adjacency":
+        from linkgraph.graph.build import write_adjacency_table
+
+        write_adjacency_table(
+            spark.read.parquet(args.edges),
+            args.table,
+            args.output,
+            num_buckets=args.num_buckets,
+        )
+        print(json.dumps({"table": args.table, "path": args.output}))
+        return 0
+
+    pre_partitioned = bool(getattr(args, "table", None))
+    if pre_partitioned:
+        from linkgraph.graph.build import read_adjacency_table
+
+        edges = read_adjacency_table(spark, args.table)
+    else:
+        if not args.edges:
+            p.error("one of --edges / --table is required")
+        edges = spark.read.parquet(args.edges)
 
     if args.cmd == "pagerank":
         from linkgraph.operators.pagerank import pagerank
@@ -94,7 +137,10 @@ def main(argv: list[str] | None = None) -> int:
         runner = SuperstepRunner(
             spark, run_id="pagerank", checkpoint_dir=args.checkpoint_dir, max_iter=args.max_iter
         )
-        out = pagerank(spark, edges, damping=args.damping, tol=args.tol, runner=runner)
+        out = pagerank(
+            spark, edges, damping=args.damping, tol=args.tol, runner=runner,
+            pre_partitioned=pre_partitioned,
+        )
         out.write.mode("overwrite").parquet(args.output)
         if args.checkpoint_dir:
             runner.write_metrics(f"{args.checkpoint_dir}/metrics")
@@ -102,20 +148,23 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "cc":
         from linkgraph.operators.components import connected_components
 
-        connected_components(spark, edges, algorithm=args.algorithm).write.mode(
-            "overwrite"
-        ).parquet(args.output)
+        connected_components(
+            spark, edges, algorithm=args.algorithm, pre_partitioned=pre_partitioned
+        ).write.mode("overwrite").parquet(args.output)
     elif args.cmd == "lpa":
         from linkgraph.operators.lpa import label_propagation
 
-        label_propagation(spark, edges, max_iter=args.max_iter).write.mode(
-            "overwrite"
-        ).parquet(args.output)
+        label_propagation(
+            spark, edges, max_iter=args.max_iter, pre_partitioned=pre_partitioned
+        ).write.mode("overwrite").parquet(args.output)
     elif args.cmd == "louvain":
         if args.quality_id == 0:
             from linkgraph.operators.louvain import louvain
 
-            res = louvain(spark, edges, min_gain=args.min_gain)
+            res = louvain(
+                spark, edges, min_gain=args.min_gain,
+                pre_partitioned=pre_partitioned,
+            )
             res.assignment.write.mode("overwrite").parquet(f"{args.output}/assignment")
             res.hierarchy.write.mode("overwrite").parquet(f"{args.output}/hierarchy")
             if args.checkpoint_dir and res.metrics:
@@ -137,6 +186,7 @@ def main(argv: list[str] | None = None) -> int:
                 edges,
                 quality_id=args.quality_id,
                 params={"alpha": args.alpha, "kappa_min": args.kappa_min},
+                pre_partitioned=pre_partitioned,
             )
             gres.assignment.write.mode("overwrite").parquet(f"{args.output}/assignment")
             print(
@@ -162,6 +212,7 @@ def main(argv: list[str] | None = None) -> int:
             deltas,
             checkpoint_dir=args.checkpoint_dir,
             screening=not args.no_screening,
+            resume=not args.no_resume,
         )
         run.state.write.mode("overwrite").parquet(f"{args.output}/state")
         run.edges.write.mode("overwrite").parquet(f"{args.output}/edges")

@@ -73,3 +73,45 @@ def test_cli_cc_star_and_louvain_metrics(spark, tmp_path, capsys):
     capsys.readouterr()
     rounds = spark.read.parquet(str(tmp_path / "ck2" / "louvain_rounds"))
     assert rounds.count() > 0
+
+
+def test_cli_build_adjacency_and_table_fed_pagerank(spark, tmp_path, capsys):
+    """build-adjacency writes the catalog-known bucketed K1 table; the
+    graph commands accept --table and run pre-partitioned, matching
+    the --edges path's scores exactly."""
+    g = build_graph(toy_edges_df(spark))
+    edges_path = str(tmp_path / "edges_t")
+    g.write.parquet(edges_path)
+
+    spark.sql("DROP TABLE IF EXISTS t_cli_adj")
+    rc = main(
+        [
+            "build-adjacency",
+            "--edges",
+            edges_path,
+            "--output",
+            str(tmp_path / "adj_tbl"),
+            "--table",
+            "t_cli_adj",
+            "--num-buckets",
+            "4",
+        ]
+    )
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["table"] == "t_cli_adj"
+
+    rc = main(
+        ["pagerank", "--table", "t_cli_adj", "--output", str(tmp_path / "pr_t"), "--tol", "1e-9"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(
+        ["pagerank", "--edges", edges_path, "--output", str(tmp_path / "pr_e"), "--tol", "1e-9"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    a = {r.id: r.score for r in spark.read.parquet(str(tmp_path / "pr_t")).collect()}
+    b = {r.id: r.score for r in spark.read.parquet(str(tmp_path / "pr_e")).collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[i] - b[i]) < 1e-12 for i in a)
+    spark.sql("DROP TABLE t_cli_adj")

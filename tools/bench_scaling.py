@@ -71,7 +71,16 @@ print("EDGES", spark.read.parquet({EDGES!r}).count())
     n_edges = results[32]["n_edges"]
 
     os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
+    path = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    # preserve any other evidence sections (e.g. "## Incremental tier
+    # at scale" from tools/inc_scale_bench.py) across re-measurement
+    keep = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            keep = old[idx:]
+    with open(path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured throughput + scaling evidence
 
@@ -107,6 +116,7 @@ executor) the exchange-free plan removes per-superstep NETWORK volume
 — the term that dominates at 1000 executors — so its scaling there is
 strictly better than a naive per-superstep-shuffle plan's.
 """
+            + keep
         )
     print(json.dumps({"speedup": round(speedup, 3), "efficiency": round(efficiency, 3)}))
 
