@@ -543,7 +543,13 @@ def louvain(
     big path's one-time level-0 edge repartition is skipped (the
     gather joins along src, so the bucketing feeds it directly).
     """
-    e = _normalize(edges).persist()
+    # pre_partitioned inputs are already materialized by the caller
+    # (a persisted bucketed-table read, or the incremental loop's
+    # barriered graph version) — caching the projection again would
+    # duplicate 100%-of-graph memory per call
+    e = _normalize(edges)
+    if not pre_partitioned:
+        e = e.persist()
     # one scan for BOTH the total weight (M, utils.cu:114) and the
     # level-0 self-loop total (a per-level constant of the Q scalar —
     # the 0.0-otherwise terms are exact identities, so both sums equal
@@ -599,7 +605,8 @@ def louvain(
         # Edgeless graph (possible mid-stream: a deletion batch can
         # remove every edge): every vertex its own dense community,
         # modularity 0 — no division by M anywhere.
-        e.unpersist()
+        if not pre_partitioned:
+            e.unpersist()
         dense, _ = _dense_communities(
             verts.select(F.col("id").alias("community")),
             num_partitions=max(1, n // 1_000_000 + 1),
@@ -782,7 +789,8 @@ def louvain(
     for h in hierarchy_rows[1:]:
         hierarchy = hierarchy.unionByName(h)
     assignment = orig_map.select(F.col("orig").alias("id"), F.col("node").alias("community"))
-    e.unpersist()
+    if not pre_partitioned:
+        e.unpersist()
     return LouvainResult(
         assignment=assignment,
         hierarchy=hierarchy,

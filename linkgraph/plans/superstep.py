@@ -76,6 +76,12 @@ def barrier(
     the checkpoint's output/rdd/partitioning but drops originStats and
     originConstraints. (internalCreateDataFrame, the reset-only path,
     cannot do this — it always produces UnknownPartitioning.)
+
+    Footgun: barrier a FRESH frame. A Dataset that was already
+    executed under AQE caches its adaptive plan, so the AQE-off
+    compile here never happens and the checkpoint comes out
+    UnknownPartitioning — rebuild the plan (re-call the producing
+    function) instead of barriering a frame you already collected.
     """
     spark = df.sparkSession
     if preserve_partitioning:

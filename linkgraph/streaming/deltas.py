@@ -38,21 +38,33 @@ def symmetrize_delta(delta: DataFrame) -> DataFrame:
 
 def apply_deletions(edges: DataFrame, delta_del: DataFrame) -> DataFrame:
     """G2: remove (src,dst) and (dst,src) — left-anti join replaces the
-    reference's tombstone+compact machinery."""
+    reference's tombstone+compact machinery. The batch side is
+    broadcast (delta batches are micro-batch-sized by the streaming
+    model — a bulk delete should rebuild the graph instead), so the
+    surviving rows KEEP the edge table's partitioning — the
+    incremental loop's src-partitioned invariant crosses deletion
+    phases with zero exchange."""
     sym = symmetrize_delta(delta_del).select("src", "dst")
-    return edges.join(sym, ["src", "dst"], "left_anti")
+    return edges.join(F.broadcast(sym), ["src", "dst"], "left_anti")
 
 
-def apply_additions(edges: DataFrame, delta_add: DataFrame) -> DataFrame:
+def apply_additions(
+    edges: DataFrame, delta_add: DataFrame, repartition_src: int | None = None
+) -> DataFrame:
     """G1: insert symmetrized delta edges; duplicate (src,dst) pairs
-    merge by weight sum (clean() semantics)."""
+    merge by weight sum (clean() semantics).
+
+    repartition_src: partition the unioned rows on hash(src) BEFORE
+    the merge — hash(src) satisfies the (src, dst) grouping's
+    distribution, so the aggregation runs exchange-free on top and the
+    new graph version comes out src-partitioned (the incremental loop
+    keeps this invariant so every warm Louvain call runs
+    pre-partitioned). Same rows either way."""
     sym = symmetrize_delta(delta_add)
-    return (
-        edges.select("src", "dst", "weight")
-        .unionByName(sym)
-        .groupBy("src", "dst")
-        .agg(F.sum("weight").alias("weight"))
-    )
+    u = edges.select("src", "dst", "weight").unionByName(sym)
+    if repartition_src:
+        u = u.repartition(repartition_src, "src")
+    return u.groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
 
 
 def seed_new_nodes(

@@ -21,7 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from linkgraph.operators.louvain import louvain
+from linkgraph.operators.louvain import _normalize, louvain
 from linkgraph.plans.superstep import barrier
 from linkgraph.streaming.deltas import (
     apply_additions,
@@ -170,7 +170,20 @@ def run_incremental(
     call (broadcast_threshold=0 forces the co-partitioned big path —
     the at-scale evidence runs use it).
     """
-    edges = barrier(base_edges.select("src", "dst", "weight"))
+    # carried-graph invariant: every edge version is normalized,
+    # hash(src)-partitioned at the session partition count, and
+    # materialized — so EVERY louvain call (static and warm) runs
+    # pre_partitioned, skipping its per-call normalize/persist and
+    # repartition barrier (measured ~90s of a 160s warm call at 123M
+    # rows). Deletions preserve the layout through the broadcast
+    # anti-join; additions re-establish it inside the merge
+    # aggregation (apply_additions(repartition_src=...)).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = barrier(
+        _normalize(base_edges).repartition(n_part, "src"),
+        reset_stats=True,
+        preserve_partitioning=True,
+    )
     metrics: list[dict] = []
     resume_pos: tuple[int, int] | None = None
     q = 0.0
@@ -185,6 +198,7 @@ def run_incremental(
         res = louvain(
             spark, edges, min_gain=min_gain, max_levels=max_levels,
             broadcast_threshold=broadcast_threshold, salt_hubs=salt_hubs,
+            pre_partitioned=True,
         )
         state = barrier(res.assignment)
         q = res.modularity
@@ -207,11 +221,22 @@ def run_incremental(
                 # completed before the restart: replay the graph
                 # mutation only (the restored state already reflects
                 # this phase's Louvain pass and any node seeding)
-                mutate = apply_deletions if phase == "del" else apply_additions
-                edges = barrier(mutate(edges, batch))
+                if phase == "del":
+                    mutated = apply_deletions(edges, batch)
+                else:
+                    mutated = apply_additions(
+                        edges, batch, repartition_src=n_part
+                    )
+                edges = barrier(
+                    mutated, reset_stats=True, preserve_partitioning=True
+                )
                 continue
             if phase == "del":
-                new_edges = barrier(apply_deletions(edges, batch))
+                new_edges = barrier(
+                    apply_deletions(edges, batch),
+                    reset_stats=True,
+                    preserve_partitioning=True,
+                )
                 verts = state.select("id")
                 r = barrier(
                     frontier_del(spark, new_edges, state, batch)
@@ -219,7 +244,11 @@ def run_incremental(
                     else verts
                 )
             else:
-                new_edges = barrier(apply_additions(edges, batch))
+                new_edges = barrier(
+                    apply_additions(edges, batch, repartition_src=n_part),
+                    reset_stats=True,
+                    preserve_partitioning=True,
+                )
                 state = seed_new_nodes(spark, new_edges, state, batch=batch)
                 verts = state.select("id")
                 r = barrier(
@@ -247,6 +276,7 @@ def run_incremental(
                     n_vertices=n,
                     broadcast_threshold=broadcast_threshold,
                     salt_hubs=salt_hubs,
+                    pre_partitioned=True,
                 )
                 state = barrier(res.assignment)
                 q = res.modularity

@@ -700,3 +700,81 @@ def test_bucketed_k1_feeds_cc_lpa_louvain(spark, tmp_path):
     assert a == b
     assert lv_a.modularity == lv_b.modularity
     spark.sql("DROP TABLE t_adj_ops")
+
+
+def test_mutation_preserves_src_partitioning(spark):
+    """Incremental-loop carried-graph invariant: every edge version is
+    hash(src)-partitioned so EVERY warm Louvain call runs
+    pre_partitioned (skipping the per-call 100%-of-graph persist +
+    repartition — measured ~50s/phase at 123M rows). Locks the two
+    mutation paths:
+
+    * apply_deletions — broadcast anti-join: ZERO exchanges, and the
+      surviving rows keep the partitioning (src-keyed agg on the
+      barriered result plans no exchange);
+    * apply_additions(repartition_src=n) — exactly ONE exchange (the
+      explicit hash(src) repartition; the (src,dst) merge groupBy is
+      satisfied by hash(src) and adds none), partitioning kept;
+    * row equality with the unpartitioned path.
+    """
+    from linkgraph.streaming.deltas import apply_additions, apply_deletions
+    from linkgraph.plans.superstep import barrier
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 13) % 50, 1.0) for i in range(400) if i % 50 != (i * 13) % 50],
+        "src long, dst long, weight double",
+    )
+    base = barrier(
+        edges.repartition(n_part, "src"),
+        reset_stats=True,
+        preserve_partitioning=True,
+    )
+    delta = spark.createDataFrame(
+        [(1, 13, 1.0), (2, 26, 1.0), (7, 41, 2.5)],
+        "src long, dst long, weight double",
+    )
+
+    def final_plan(df) -> str:
+        df.collect()
+        return _plan(df).split("== Initial Plan ==")[0]
+
+    # deletions: broadcast anti-join, zero SHUFFLE exchanges (the
+    # BroadcastExchange is the point — delta batches are tiny).
+    # Plan-audit on a SEPARATE instance: executing a Dataset under AQE
+    # caches its adaptive plan, and a later barrier() on that same
+    # object cannot recover the partitioning (the AQE trap barrier's
+    # docstring documents) — production always barriers fresh frames.
+    p = final_plan(apply_deletions(base, delta))
+    assert p.count("Exchange hashpartitioning") == 0, p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    del_v = barrier(
+        apply_deletions(base, delta),
+        reset_stats=True,
+        preserve_partitioning=True,
+    )
+    agg = del_v.groupBy("src").agg(F.sum("weight").alias("w"))
+    assert final_plan(agg).count("Exchange") == 0
+
+    # additions: exactly the ONE explicit hash(src) exchange — the
+    # (src,dst) merge groupBy is satisfied by hash(src) and adds none
+    p = final_plan(apply_additions(base, delta, repartition_src=n_part))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "hashpartitioning(src" in p, p
+    add_v = barrier(
+        apply_additions(base, delta, repartition_src=n_part),
+        reset_stats=True,
+        preserve_partitioning=True,
+    )
+    agg = add_v.groupBy("src").agg(F.sum("weight").alias("w"))
+    assert final_plan(agg).count("Exchange") == 0
+
+    # same rows either way
+    plain = {tuple(r) for r in apply_additions(base, delta).collect()}
+    part = {tuple(r) for r in add_v.collect()}
+    assert plain == part
+    plain_d = {tuple(r) for r in base.join(
+        delta.select("src", "dst").unionByName(
+            delta.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ), ["src", "dst"], "left_anti").collect()}
+    assert {tuple(r) for r in del_v.collect()} == plain_d
