@@ -158,7 +158,7 @@ def main() -> None:
     intra.unpersist()
 
     def incremental():
-        run = run_incremental(spark, edges, deltas)
+        run = run_incremental(spark, edges, deltas, pre_partitioned=True)
         fracs = [m["r_frac"] for m in run.metrics if m["phase"] != "static"]
         extra["incremental_phases"] = len(fracs)
         if fracs:

@@ -146,6 +146,7 @@ def run_incremental(
     resume: bool = True,
     broadcast_threshold: int = 5_000_000,
     salt_hubs: bool | None = None,
+    pre_partitioned: bool = False,
 ) -> IncrementalRun:
     """base_edges: symmetric weighted table (build_graph output).
     deltas: (ts:int, op:'add'|'del', src, dst[, weight]).
@@ -169,6 +170,10 @@ def run_incremental(
     broadcast_threshold / salt_hubs forward to every internal louvain
     call (broadcast_threshold=0 forces the co-partitioned big path —
     the at-scale evidence runs use it).
+
+    pre_partitioned=True: base_edges is already hash(src)-partitioned
+    (the K1 bucketed-table read) — the loop's one-time repartition is
+    skipped; the invariant below then holds from the first barrier.
     """
     # carried-graph invariant: every edge version is normalized,
     # hash(src)-partitioned at the session partition count, and
@@ -179,8 +184,11 @@ def run_incremental(
     # anti-join; additions re-establish it inside the merge
     # aggregation (apply_additions(repartition_src=...)).
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    versioned = _normalize(base_edges)
+    if not pre_partitioned:
+        versioned = versioned.repartition(n_part, "src")
     edges = barrier(
-        _normalize(base_edges).repartition(n_part, "src"),
+        versioned,
         reset_stats=True,
         preserve_partitioning=True,
     )

@@ -205,3 +205,31 @@ def test_incremental_mid_run_resume(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(kill_dir + "/incremental_metrics").collect()
     )
     assert kill_m == full_m
+
+
+def test_incremental_pre_partitioned_input_matches(spark):
+    """run_incremental(pre_partitioned=True) over an already
+    hash(src)-partitioned edge table (the K1 bucketed feed) skips the
+    loop's one-time repartition and lands the identical final state,
+    edges, modularity, and metrics trail."""
+    from linkgraph.plans.superstep import barrier
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    g = build_graph(toy_edges_df(spark))
+    plain = run_incremental(spark, g, toy_deltas_df(spark))
+    pre = barrier(
+        g.repartition(n_part, "src"),
+        reset_stats=True,
+        preserve_partitioning=True,
+    )
+    part = run_incremental(
+        spark, pre, toy_deltas_df(spark), pre_partitioned=True
+    )
+    assert {r.id: r.community for r in plain.state.collect()} == {
+        r.id: r.community for r in part.state.collect()
+    }
+    assert _edges_dict(plain.edges) == _edges_dict(part.edges)
+    assert plain.modularity == part.modularity
+    assert [(m["ts"], m["phase"], m["r_size"]) for m in plain.metrics] == [
+        (m["ts"], m["phase"], m["r_size"]) for m in part.metrics
+    ]
