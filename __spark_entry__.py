@@ -172,17 +172,24 @@ def _q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — rows-only (xxhash64-based)."""
+    """SimHash near-dup pairs, portable token hash. EXACT oracle: the
+    4-block pigeonhole guarantees recall at hamming <= 3, so the Spark
+    output equals the full all-pairs hamming filter the oracle runs;
+    the portable polynomial char hash is re-derived in DuckDB SQL
+    bit-for-bit. (token_hash='xxhash64' is the faster default mode,
+    covered by pytest.)"""
     from linkgraph.functions.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3, token_hash="portable")
 
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprint — rows-only (xxhash64-based)."""
+    """Rolling-hash fingerprint, portable token hash — exactly
+    reproducible in DuckDB SQL (the cross-engine dedup mode;
+    token_hash='xxhash64' is the faster default, covered by pytest)."""
     from linkgraph.functions.text import fingerprint
 
-    return fingerprint(_docs(spark, sf_dir))
+    return fingerprint(_docs(spark, sf_dir), token_hash="portable")
 
 
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,6 +418,64 @@ def _louvain_move_round1_sql() -> str:
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '[^a-zA-Z0-9]+'), x -> x <> '')"
 _TOKS_LOWER = "list_filter(regexp_split_to_array(trim(lower(text)), '[^a-zA-Z0-9]+'), x -> x <> '')"
 
+_HASH_MOD = (1 << 31) - 1
+
+
+def _ptok_sql(t: str, mult: int) -> str:
+    """DuckDB re-derivation of functions.text.portable_token_hash:
+    31-bit polynomial char hash, bit-for-bit identical to the Spark
+    expression (tokens are ASCII alnum by TOKEN_SPLIT_RE, so ascii()
+    codepoints agree across engines)."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({t}, ''), c -> ascii(c)::BIGINT)), "
+        f"(acc, x) -> (acc * {mult} + x) % {_HASH_MOD})"
+    )
+
+
+def _fingerprint_sql() -> str:
+    """functions.text.fingerprint(token_hash='portable'): two 31-bit
+    polynomial streams over the ordered token-hash sequence, packed
+    into one 62-bit long."""
+    return f"""WITH toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+        th AS (SELECT doc_id, list_transform(ts, t -> {_ptok_sql('t', 131)}) AS hs
+               FROM toks)
+        SELECT doc_id,
+          list_reduce(list_prepend({2166136261 % _HASH_MOD}::BIGINT, hs),
+                      (acc, x) -> (acc * 31 + x) % {_HASH_MOD}) * {1 << 31}
+        + list_reduce(list_prepend(16777619::BIGINT, hs),
+                      (acc, x) -> (acc * 37 + x) % {_HASH_MOD}) AS fingerprint
+        FROM th"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """functions.dedup.simhash_pairs(token_hash='portable'): the Spark
+    side blocks candidates into 4 disjoint 16-bit tables, but by
+    pigeonhole its output EQUALS the full all-pairs hamming filter —
+    which is what this oracle computes directly (62 hash bits: two
+    31-bit polynomial streams per token; fingerprint bits 62/63 are
+    always 0). A doc with zero tokens gets fingerprint 0 (the CASE
+    sums evaluate over NULL votes to 0 after the left join)."""
+    vsums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(62)
+    )
+    fpexpr = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(62)
+    )
+    return f"""WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS ts FROM documents),
+        th AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        h AS (SELECT doc_id,
+                     {_ptok_sql('t', 131)} * {1 << 31} + {_ptok_sql('t', 137)} AS h
+              FROM th),
+        v AS (SELECT doc_id, {vsums} FROM h GROUP BY doc_id),
+        fp AS (SELECT d.doc_id, ({fpexpr})::BIGINT AS fp
+               FROM documents d LEFT JOIN v USING (doc_id))
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}"""
+
 
 def _occ(hay: str, needle: str) -> str:
     return f"(length({hay}) - length(replace({hay}, '{needle}', ''))) / {len(needle)}"
@@ -570,6 +635,8 @@ def oracle_sql() -> dict[str, str]:
         # verify; oracle = ALL exact pairs at the same threshold —
         # green means the banded LSH missed nothing on this data
         "minhash_verified": _ngram_jaccard_sql(threshold=0.6),
+        "simhash_pairs": _simhash_pairs_sql(3),
+        "doc_fingerprint": _fingerprint_sql(),
         "knn_cosine": _knn_cosine_sql(),
         "events_window_agg": """SELECT date_trunc('hour', ts) AS hour, event_type,
               count(*) AS n, ROUND(sum(value), 6) AS sum_value
@@ -607,7 +674,11 @@ def oracle_sql() -> dict[str, str]:
             FROM withloops e
             JOIN deg ds ON ds.id = e.src
             JOIN deg dd ON dd.id = e.dst""",
-        # minhash_lsh / simhash_pairs / doc_fingerprint / knn_lsh:
-        # xxhash64 / hyperplane based -> no DuckDB equivalent; the driver
-        # records rows-only checks and pytest covers semantics.
+        # minhash_lsh / knn_lsh: approximate candidate generation
+        # (banded xxhash64 buckets / random-hyperplane probes) with no
+        # recall guarantee -> genuinely not oracle-expressible; the
+        # driver records rows-only checks and pytest covers semantics
+        # (planted-dup recall, LSH-dominates-bruteforce). Their
+        # VERIFIED counterparts (minhash_verified, knn_cosine) are
+        # exact-oracle green above.
     }

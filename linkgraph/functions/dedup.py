@@ -223,35 +223,77 @@ def minhash_verified_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = 64, token_hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash over tokens: bit j of the fingerprint is the sign
-    of sum over tokens of (+1 if bit j of xxhash64(token) else -1).
-    Returns (doc_id, simhash long)."""
-    toks = _tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    of sum over tokens of (+1 if bit j of hash(token) else -1).
+    Returns (doc_id, simhash long).
 
-    def _vote_fn(bit: int):
-        # closure factory: pyspark HOF lambdas must take exactly the
-        # declared arity (extra default params break arity inspection)
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    token_hash: 'xxhash64' (default, full 64 hash bits) or 'portable'
+    (two 31-bit polynomial char streams packed into a 62-bit token
+    hash — bits 62/63 of the fingerprint are then always 0 — exactly
+    reproducible outside Spark; the harness oracle recomputes it in
+    DuckDB SQL).
 
-    bit_cols = []
-    for j in range(bits):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(j))
-        bit_cols.append(
-            F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-            * F.lit(2 ** j).cast("long")
-            if j < 63
-            else F.when(votes > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+    Plan shape: explode tokens -> hash once per token row -> one
+    groupBy(doc_id) with ``bits`` plain conditional sums. The former
+    per-row form built ``bits`` copies of the token-hash subtree into
+    one giant projection (whole-stage codegen measured minutes at 64
+    bits); the narrow aggregate is also the right shape at scale —
+    partial aggregation runs map-side and only (doc_id, 64 longs)
+    rows shuffle. Docs with zero tokens keep fingerprint 0."""
+    if token_hash == "portable":
+        from linkgraph.functions.text import portable_token_hash
+
+        def tok_h(t: Column) -> Column:
+            return portable_token_hash(t, 131) * F.lit(1 << 31).cast(
+                "long"
+            ) + portable_token_hash(t, 137)
+
+    elif token_hash == "xxhash64":
+        def tok_h(t: Column) -> Column:
+            return F.xxhash64(t)
+
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
+
+    hashed = df.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("t")
+    ).select("doc_id", tok_h(F.col("t")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    bit_cols = [
+        F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        * F.lit(2 ** j).cast("long")
+        if j < 63
+        else F.when(F.col(f"v{j}") > 0, F.lit(-(2 ** 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
+        for j in range(bits)
+    ]
     fp = sum(bit_cols[1:], bit_cols[0])
-    return df.select("doc_id", fp.alias("simhash"))
+    return (
+        df.select("doc_id")
+        .join(votes.select("doc_id", fp.alias("_fp")), "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("_fp"), F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 3, n_blocks: int = 4
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs with GUARANTEED recall for hamming <=
     n_blocks - 1: the fingerprint is split into n_blocks disjoint
@@ -271,7 +313,7 @@ def simhash_pairs(
 
     width = 64 // n_blocks
     mask = (1 << width) - 1
-    fps = simhash(df, text_col).persist()
+    fps = simhash(df, text_col, token_hash=token_hash).persist()
     blocked = fps.select(
         "doc_id",
         "simhash",

@@ -97,31 +97,62 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", pred.alias("pred_lang"))
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+#: 31-bit Mersenne prime modulus shared by every portable-hash stream.
+HASH_MOD = (1 << 31) - 1
+
+
+def portable_token_hash(tok, mult: int = 131):
+    """31-bit polynomial hash of a token's characters — pure integer
+    arithmetic, reproducible bit-for-bit in any engine with 64-bit
+    ints (the DuckDB oracles re-derive it in SQL). Tokens are
+    ``[a-zA-Z0-9]+`` (TOKEN_SPLIT_RE), so ``ascii()`` codepoints are
+    engine-independent. acc < 2^31, mult 131, codepoint < 128:
+    max ~2^39 — no long overflow under ANSI mode."""
+    return F.aggregate(
+        F.filter(F.split(tok, ""), lambda c: c != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(
+            acc * F.lit(mult).cast("long") + F.ascii(c), F.lit(HASH_MOD).cast("long")
+        ),
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", token_hash: str = "xxhash64"
+) -> DataFrame:
     """Deterministic document fingerprint: polynomial rolling hash over
-    the token sequence (tokens hashed by xxhash64, folded mod 2^61-1 so
-    the arithmetic never overflows a long — Spark 4 runs ANSI mode, so
-    deliberate wraparound would throw). Robust to surrounding
-    whitespace; JVM-side via aggregate()."""
-    mod = F.lit((1 << 31) - 1).cast("long")
+    the token sequence, folded mod 2^31-1 so the arithmetic never
+    overflows a long — Spark 4 runs ANSI mode, so deliberate wraparound
+    would throw. Robust to surrounding whitespace; JVM-side via
+    aggregate().
+
+    token_hash: 'xxhash64' (default — fastest, JVM intrinsic) or
+    'portable' (polynomial char hash: bit-for-bit reproducible outside
+    Spark — use when fingerprints must match across engines, e.g.
+    deduplicating against a DuckDB/Polars-side corpus; it is also what
+    gives the harness query an exact DuckDB oracle)."""
+    mod = F.lit(HASH_MOD).cast("long")
     toks = F.filter(
         F.split(F.trim(F.col(text_col)), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
     )
+    if token_hash == "portable":
+        tok_h = portable_token_hash
+    elif token_hash == "xxhash64":
+        def tok_h(t):
+            return F.pmod(F.xxhash64(t), F.lit(1 << 31).cast("long"))
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
 
     def _stream(mult: int, basis: int):
         # acc < 2^31, mult small, token hash < 2^31: max ~2^37, no overflow
         return F.aggregate(
             toks,
             F.lit(basis).cast("long"),
-            lambda acc, t: F.pmod(
-                acc * F.lit(mult).cast("long")
-                + F.pmod(F.xxhash64(t), F.lit(1 << 31).cast("long")),
-                mod,
-            ),
+            lambda acc, t: F.pmod(acc * F.lit(mult).cast("long") + tok_h(t), mod),
         )
 
     # two independent 31-bit streams packed into one 62-bit fingerprint
-    fp = _stream(31, 2166136261 % ((1 << 31) - 1)) * F.lit(1 << 31).cast("long") + _stream(
+    fp = _stream(31, 2166136261 % HASH_MOD) * F.lit(1 << 31).cast("long") + _stream(
         37, 16777619
     )
     return df.select("doc_id", fp.alias("fingerprint"))

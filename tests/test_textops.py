@@ -116,6 +116,90 @@ def test_simhash_recall_guarantee(spark):
     assert (0, target) in pairs
 
 
+_HASH_MOD = (1 << 31) - 1
+
+
+def _py_ptok(t: str, m: int) -> int:
+    h = 0
+    for c in t:
+        h = (h * m + ord(c)) % _HASH_MOD
+    return h
+
+
+def test_fingerprint_portable_matches_python_oracle(spark):
+    """token_hash='portable' is bit-for-bit reproducible outside Spark
+    — locked against an independent pure-Python evaluation (the DuckDB
+    harness oracle re-derives the same arithmetic in SQL)."""
+    rows = [
+        (0, "  Hello, world! foo bar123 "),
+        (1, ""),
+        (2, "a"),
+        (3, "x y z x y z"),
+        (4, "hello world foo"),
+        (5, "  hello   world\tfoo "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.fingerprint for r in fingerprint(df, token_hash="portable").collect()}
+
+    def py_fp(text: str) -> int:
+        toks = [t for t in re.split(r"[^a-zA-Z0-9]+", text.strip()) if t]
+        hs = [_py_ptok(t, 131) for t in toks]
+
+        def stream(mult: int, basis: int) -> int:
+            a = basis
+            for x in hs:
+                a = (a * mult + x) % _HASH_MOD
+            return a
+
+        return stream(31, 2166136261 % _HASH_MOD) * (1 << 31) + stream(37, 16777619)
+
+    assert got == {i: py_fp(t) for i, t in rows}
+    assert got[4] == got[5]  # whitespace robustness holds in this mode too
+
+
+def test_simhash_portable_matches_python_oracle(spark):
+    """Portable simhash (62 hash bits: two 31-bit polynomial streams
+    per lowered token) locked against a pure-Python evaluation, and
+    the blocked pair join equals the brute-force hamming filter."""
+    from linkgraph.functions.dedup import simhash as simhash_fn
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different content here entirely"),
+        (3, ""),
+        (4, "the quick brown fox jumps over the lazy dog!"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def py_simhash(text: str) -> int:
+        toks = [t for t in re.split(r"[^a-zA-Z0-9]+", text.strip().lower()) if t]
+        hs = [_py_ptok(t, 131) * (1 << 31) + _py_ptok(t, 137) for t in toks]
+        fp = 0
+        for j in range(62):
+            if sum(1 if (h >> j) & 1 else -1 for h in hs) > 0:
+                fp |= 1 << j
+        return fp
+
+    fps = {r.doc_id: r.simhash for r in simhash_fn(df, token_hash="portable").collect()}
+    want = {i: py_simhash(t) for i, t in rows}
+    assert fps == want
+    assert fps[3] == 0  # zero-token doc keeps fingerprint 0
+
+    got_pairs = {
+        (r.a, r.b): r.hamming
+        for r in simhash_pairs(df, max_hamming=3, token_hash="portable").collect()
+    }
+    import itertools
+
+    brute = {
+        (a, b): bin(want[a] ^ want[b]).count("1")
+        for a, b in itertools.combinations(sorted(want), 2)
+        if bin(want[a] ^ want[b]).count("1") <= 3
+    }
+    assert got_pairs == brute
+
+
 def test_dedup_on_sf_documents(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = exact_dedup(docs)
