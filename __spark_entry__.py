@@ -210,6 +210,19 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(emb, queries, k=5, n_planes=6)
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (brute-force baseline —
+    the exactness anchor for the LSH-bucketed scale path, certified by
+    an all-pairs DuckDB oracle). Threshold 0.4 sits in the tail of the
+    synthetic-embedding cosine distribution (uniform-ish vectors top
+    out ~0.6), >= 1e-5 clear of every pairwise sim, so the filter is
+    engine-stable."""
+    from linkgraph.functions.similarity import embedding_near_dup_exact
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup_exact(emb, threshold=0.4)
+
+
 def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-hour windowed aggregation over the events stream table
     (the micro-batch analog of the streaming tier)."""
@@ -291,6 +304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
         "events_window_agg": _q_events_window_agg,
         "check_symmetry": _q_check_symmetry,
         "display_reverse": _q_display_reverse,
@@ -638,6 +652,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(3),
         "doc_fingerprint": _fingerprint_sql(),
         "knn_cosine": _knn_cosine_sql(),
+        "embedding_near_dup": """WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.e, b.e), 6) AS sim
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= 0.4""",
         "events_window_agg": """SELECT date_trunc('hour', ts) AS hour, event_type,
               count(*) AS n, ROUND(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2""",

@@ -180,3 +180,31 @@ def embedding_near_dup_pairs(
         .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+def embedding_near_dup_exact(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (a < b, cosine >=
+    threshold): brute-force all-pairs — the exactness baseline that
+    certifies `embedding_near_dup_pairs`'s LSH recall (and the harness
+    query's DuckDB oracle target). One side broadcasts, so the plan is
+    a shuffle-free BroadcastNestedLoopJoin: each partition of the
+    streamed side scans the broadcast copy once. Quadratic by
+    definition — usable as long as the vector table fits a broadcast
+    (the correctness-baseline regime); beyond that the LSH-bucketed
+    variant above is the scale path. Returns (a, b, sim)."""
+    a = vectors.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("a") < F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

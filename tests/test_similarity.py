@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from linkgraph.functions.similarity import (
+    embedding_near_dup_exact,
     embedding_near_dup_pairs,
     knn_bruteforce,
     knn_lsh,
@@ -58,6 +59,28 @@ def test_embedding_near_dup_pairs(spark, vectors):
     pairs = {(r.a, r.b): r.sim for r in
              embedding_near_dup_pairs(vectors, threshold=0.99, n_planes=6).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+
+
+def test_embedding_near_dup_exact_matches_numpy(spark, vectors):
+    """Brute-force near-dup pairs equal an independent NumPy all-pairs
+    evaluation, and the LSH-bucketed variant returns a subset of them
+    (same exact-cosine filter, candidates restricted to buckets)."""
+    vecs = {r.vec_id: np.array(r.embedding) for r in vectors.collect()}
+    t = 0.3
+    want = {}
+    for a in sorted(vecs):
+        for b in sorted(vecs):
+            if a < b:
+                s = round(float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))), 6)
+                if s >= t:
+                    want[(a, b)] = s
+    got = {(r.a, r.b): r.sim for r in embedding_near_dup_exact(vectors, threshold=t).collect()}
+    assert set(got) == set(want)
+    assert all(abs(got[p] - want[p]) < 2e-6 for p in got)
+    lsh = {(r.a, r.b) for r in
+           embedding_near_dup_pairs(vectors, threshold=t, n_planes=6).collect()}
+    assert lsh <= set(got)
+    assert (0, 1) in lsh  # planted collinear dup survives bucketing
 
 
 def test_knn_on_sf_embeddings(spark):
