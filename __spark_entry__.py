@@ -150,11 +150,19 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates — not SQL-expressible (xxhash64),
-    rows-only check; validated against planted dups in tests/."""
+    """MinHash+LSH near-dup candidates, portable shingle hash. EXACT
+    oracle: sig_i = (a_i*h + b_i) mod 2^31-1 over the 31-bit polynomial
+    shingle hash h, with the (a_i, b_i) constants inlined into the
+    DuckDB SQL from the same ``minhash_coeffs`` call; band buckets are
+    the signature slices themselves, so the candidate set is
+    "pairs agreeing on some band" on both engines bit-for-bit.
+    (shingle_hash='xxhash64' is the faster default mode, covered by
+    pytest.)"""
     from linkgraph.functions.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.5, shingle_hash="portable"
+    )
 
 
 def _q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,8 +209,13 @@ def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN — rows-only (deterministic hyperplanes; recall
-    vs brute force asserted in tests/)."""
+    """LSH-bucketed ANN with an EXACT oracle: the hyperplanes are
+    deterministic (seeded PCG64), so the oracle SQL inlines the same
+    constants as literals and evaluates each projection as a
+    left-associated addition chain — the exact IEEE order of Spark's
+    ``F.aggregate`` left fold — making bucket bits, multi-probe set and
+    the reranked top-k reproducible bit-for-bit in DuckDB. (Recall vs
+    brute force is additionally asserted in tests/.)"""
     from linkgraph.functions.similarity import knn_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -598,6 +611,103 @@ def _knn_cosine_sql() -> str:
     FROM ranked WHERE rank <= 5"""
 
 
+def _minhash_lsh_sql(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """functions.dedup.minhash_lsh_pairs(shingle_hash='portable'):
+    the (a_i, b_i) universal-hash constants come from the SAME
+    ``minhash_coeffs`` call the Spark operator uses, inlined as SQL
+    literals; the shingle CTE is the proven _ngram_jaccard_sql one;
+    band buckets are the signature slices (list equality join)."""
+    from linkgraph.functions.dedup import minhash_coeffs
+
+    r = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    mins = ",\n               ".join(
+        f"min(({a} * h + {b}) % {_HASH_MOD}) AS h{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    banded = "\n          UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        f"[{', '.join(f'h{bi * r + j}' for j in range(r))}] AS vals FROM sig"
+        for bi in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""WITH toks AS (
+      SELECT doc_id, {_TOKS_LOWER} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+2], ' '))
+             ELSE [] END)) AS shingle
+      FROM toks
+    ), ph AS (
+      SELECT doc_id, {_ptok_sql('shingle', 131)} AS h FROM sh
+    ), sig AS (
+      SELECT doc_id, {mins}
+      FROM ph GROUP BY doc_id
+    ), banded AS (
+          {banded}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.vals = y.vals AND x.doc_id < y.doc_id
+    )
+    SELECT a, b, ({agree}) / {num_hashes}.0 AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = a
+    JOIN sig sb ON sb.doc_id = b
+    WHERE ({agree}) / {num_hashes}.0 >= {threshold}"""
+
+
+def _knn_lsh_sql(
+    n_planes: int = 6, k: int = 5, dim: int = 64, seed: int = 42
+) -> str:
+    """functions.similarity.knn_lsh: hyperplanes re-derived from the
+    SAME seeded ``_hyperplanes`` call and inlined as literals (repr
+    round-trips doubles exactly). Each projection is a left-associated
+    addition chain — SQL ``+`` associates left, which is the identical
+    IEEE evaluation order to Spark's ``F.aggregate`` left fold — so the
+    bucket bits agree bit-for-bit; the multi-probe set (own bucket +
+    each single-bit flip) and the rounded-cosine rerank mirror the
+    operator."""
+    from linkgraph.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        "(CASE WHEN ("
+        + " + ".join(f"e[{j + 1}] * ({p[j]!r})" for j in range(dim))
+        + f") > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    masks = ", ".join(str(m) for m in [0] + [1 << i for i in range(n_planes)])
+    return f"""WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), vb AS (
+      SELECT vec_id, e, ({bucket})::BIGINT AS bucket FROM v
+    ), q AS (
+      SELECT vec_id AS query_id, e AS qe, bucket AS qb
+      FROM vb WHERE vec_id % 50 = 0
+    ), probes AS (
+      SELECT query_id, qe, xor(qb, t.m) AS bucket
+      FROM q CROSS JOIN unnest([{masks}]::BIGINT[]) AS t(m)
+    ), scored AS (
+      SELECT p.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qe, v.e), 6) AS sim
+      FROM vb v JOIN probes p USING (bucket)
+      WHERE v.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": f"WITH {EDGES_CTE} SELECT src, dst, weight FROM edges",
@@ -649,6 +759,8 @@ def oracle_sql() -> dict[str, str]:
         # verify; oracle = ALL exact pairs at the same threshold —
         # green means the banded LSH missed nothing on this data
         "minhash_verified": _ngram_jaccard_sql(threshold=0.6),
+        "minhash_lsh": _minhash_lsh_sql(),
+        "knn_lsh": _knn_lsh_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "doc_fingerprint": _fingerprint_sql(),
         "knn_cosine": _knn_cosine_sql(),

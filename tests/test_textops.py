@@ -74,9 +74,11 @@ def test_ngram_jaccard_pairs(spark, docs):
     assert all(a < b for a, b in pairs)
 
 
-def test_minhash_lsh_finds_planted_dups(spark, docs):
+@pytest.mark.parametrize("shingle_hash", ["xxhash64", "portable"])
+def test_minhash_lsh_finds_planted_dups(spark, docs, shingle_hash):
     pairs = {(r.a, r.b) for r in
-             minhash_lsh_pairs(docs, threshold=0.9, n=3).collect()}
+             minhash_lsh_pairs(docs, threshold=0.9, n=3,
+                               shingle_hash=shingle_hash).collect()}
     assert (0, 1) in pairs  # exact dup must collide in every band
     assert (0, 5) not in pairs and (0, 3) not in pairs
 
@@ -198,6 +200,59 @@ def test_simhash_portable_matches_python_oracle(spark):
         if bin(want[a] ^ want[b]).count("1") <= 3
     }
     assert got_pairs == brute
+
+
+def test_minhash_portable_matches_python_oracle(spark):
+    """shingle_hash='portable' signatures and LSH candidates locked
+    against an independent pure-Python evaluation (the DuckDB harness
+    oracle re-derives the same arithmetic in SQL): shingle hash =
+    31-bit polynomial, family i = (a_i*h + b_i) mod 2^31-1, candidates
+    = pairs agreeing on some 4-hash band."""
+    import itertools
+
+    from linkgraph.functions.dedup import minhash_coeffs, minhash_signatures
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again!"),
+        (2, "an entirely different document about spark query planning"),
+        (3, "the quick brown fox leaps over the lazy dog again and again"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    coeffs = minhash_coeffs(32)
+
+    def py_sig(text: str) -> list[int] | None:
+        toks = [t for t in re.split(r"[^a-zA-Z0-9]+", text.strip().lower()) if t]
+        sh = list(dict.fromkeys(
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        ))
+        if not sh:
+            return None
+        hs = [_py_ptok(s, 131) for s in sh]
+        return [min((a * h + b) % _HASH_MOD for h in hs) for a, b in coeffs]
+
+    got = {
+        r.doc_id: list(r.sig)
+        for r in minhash_signatures(df, shingle_hash="portable").collect()
+    }
+    want = {i: py_sig(t) for i, t in rows if py_sig(t) is not None}
+    assert got == want  # doc 4 (no shingles) absent from both
+
+    got_pairs = {
+        (r.a, r.b): r.est_jaccard
+        for r in minhash_lsh_pairs(df, threshold=0.5,
+                                   shingle_hash="portable").collect()
+    }
+    brute = {}
+    for a, b in itertools.combinations(sorted(want), 2):
+        sa, sb = want[a], want[b]
+        bands = any(sa[4 * i:4 * i + 4] == sb[4 * i:4 * i + 4] for i in range(8))
+        est = sum(x == y for x, y in zip(sa, sb)) / 32.0
+        if bands and est >= 0.5:
+            brute[(a, b)] = est
+    assert got_pairs == brute
+    assert (0, 1) in got_pairs  # planted near-dup found in this mode
 
 
 def test_dedup_on_sf_documents(spark):
