@@ -200,6 +200,18 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir), token_hash="portable")
 
 
+def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality filter -> language
+    filter -> exact dedup -> verified near-dup removal (drop the
+    higher id of every exact-Jaccard >= 0.6 pair). EXACT oracle: the
+    DuckDB side recomputes every stage — including ALL exact near-dup
+    pairs on the same filtered subset — so green certifies both the
+    composition and the banded LSH's recall end-to-end."""
+    from linkgraph.functions.corpus import clean_corpus
+
+    return clean_corpus(_docs(spark, sf_dir))
+
+
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.functions.similarity import knn_bruteforce
 
@@ -315,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified": _q_minhash_verified,
         "simhash_pairs": _q_simhash,
         "doc_fingerprint": _q_doc_fingerprint,
+        "corpus_clean": _q_corpus_clean,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -611,6 +624,96 @@ def _knn_cosine_sql() -> str:
     FROM ranked WHERE rank <= 5"""
 
 
+def _corpus_clean_sql(
+    min_quality: float = 0.5, lang: str = "en", threshold: float = 0.6
+) -> str:
+    """functions.corpus.clean_corpus: every stage recomputed in SQL
+    over the SAME filtered subset — the quality/lang expressions are
+    the proven _doc_quality_sql/_lang_id_sql trees (filter on the
+    rounded score, as quality_features rounds), dedup keeps the min
+    doc_id per md5 digest, and near-dup removal drops the b side of
+    ALL exact n-gram-Jaccard pairs >= threshold (the minhash_verified
+    recall guarantee lets the Spark side generate candidates via
+    banded LSH)."""
+    padded = "(' ' || lower(text) || ' ')"
+    stop = " + ".join(
+        _occ(padded, m)
+        for ms in [[" the ", " and ", " of "], [" der ", " und ", " die "], [" le ", " et ", " les "]]
+        for m in ms
+    )
+    s = {
+        "en": " + ".join(_occ(padded, m) for m in [" the ", " and ", " of "]),
+        "de": " + ".join(_occ(padded, m) for m in [" der ", " und ", " die "]),
+        "fr": " + ".join(_occ(padded, m) for m in [" le ", " et ", " les "]),
+    }
+    return f"""WITH f AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len({_TOKS}) AS n_tokens,
+             ({stop}) AS n_stop,
+             ({s["en"]}) AS s_en, ({s["de"]}) AS s_de, ({s["fr"]}) AS s_fr
+      FROM documents
+    ), g AS (
+      SELECT doc_id, text, s_en, s_de, s_fr,
+             CASE WHEN n_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_tok_len,
+             CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio,
+             n_tokens
+      FROM f
+    ), fold AS (
+      SELECT doc_id, text, s_fr, mean_tok_len, stop_ratio, n_tokens,
+             CASE WHEN s_en > s_de THEN s_en ELSE s_de END AS s2,
+             CASE WHEN s_en > s_de THEN 'en' ELSE 'de' END AS l2
+      FROM g
+    ), scored AS (
+      SELECT doc_id, text,
+             ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + least(stop_ratio * 10.0, 1.0) * 0.3
+                   + CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0 THEN 0.3 ELSE 0.0 END,
+                   6) AS quality_score,
+             CASE WHEN (CASE WHEN s_fr > s2 THEN s_fr ELSE s2 END) > 0
+                  THEN (CASE WHEN s_fr > s2 THEN 'fr' ELSE l2 END)
+                  ELSE 'und' END AS pred_lang
+      FROM fold
+    ), kept AS MATERIALIZED (
+      SELECT doc_id, text, quality_score, pred_lang
+      FROM scored
+      WHERE quality_score >= {min_quality} AND pred_lang = '{lang}'
+    ), h AS (
+      SELECT doc_id, md5(text) AS digest FROM kept
+    ), canon AS (
+      SELECT digest, min(doc_id) AS canonical_id FROM h GROUP BY digest
+    ), kept2 AS MATERIALIZED (
+      SELECT k.doc_id, k.text, k.quality_score, k.pred_lang
+      FROM kept k
+      JOIN h ON h.doc_id = k.doc_id
+      JOIN canon ON canon.digest = h.digest AND canon.canonical_id = k.doc_id
+    ), toks AS (
+      SELECT doc_id, {_TOKS_LOWER} AS t FROM kept2
+    ), sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(generate_series(1, len(t) - 2),
+                                 i -> array_to_string(t[i:i+2], ' '))
+             ELSE [] END)) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+    ), removed AS (
+      SELECT DISTINCT y.doc_id AS doc_id
+      FROM sh x JOIN sh y USING (shingle)
+      WHERE x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+      HAVING CAST(count(*) AS DOUBLE) / (
+               (SELECT sz FROM sizes WHERE sizes.doc_id = x.doc_id)
+             + (SELECT sz FROM sizes WHERE sizes.doc_id = y.doc_id)
+             - count(*)) >= {threshold}
+    )
+    SELECT k.doc_id, k.quality_score, k.pred_lang
+    FROM kept2 k
+    LEFT JOIN removed r ON r.doc_id = k.doc_id
+    WHERE r.doc_id IS NULL"""
+
+
 def _minhash_lsh_sql(
     num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
 ) -> str:
@@ -763,6 +866,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_lsh_sql(),
         "simhash_pairs": _simhash_pairs_sql(3),
         "doc_fingerprint": _fingerprint_sql(),
+        "corpus_clean": _corpus_clean_sql(),
         "knn_cosine": _knn_cosine_sql(),
         "embedding_near_dup": """WITH v AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -255,6 +255,36 @@ def test_minhash_portable_matches_python_oracle(spark):
     assert (0, 1) in got_pairs  # planted near-dup found in this mode
 
 
+def test_clean_corpus_stages(spark):
+    """All four cleaning stages exercised: the German doc fails the
+    language filter, the empty doc fails quality, the exact dup keeps
+    its lowest id, the near dup (higher id) is removed, and the
+    distinct survivor stays."""
+    from linkgraph.functions.corpus import clean_corpus
+
+    base = ("the cat and the dog of the house sat on the mat and "
+            "the bird of the garden flew over the wall of the town")
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base + " and then the night came"),      # near dup of 0
+        (3, "Der Hund und die Katze spielen in der Sonne und der Wind weht"
+            " durch die Stadt und der Regen kommt"),  # fails lang filter
+        (4, ""),                                      # fails quality filter
+        (5, "the spark engine and the graph of the linkgraph system and "
+            "the tests of the oracle run over the data of the benchmark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in clean_corpus(df, min_quality=0.2).collect()}
+    assert set(out) == {0, 5}
+    assert all(r.pred_lang == "en" for r in out.values())
+    # portable mode produces the identical survivor set (the harness
+    # oracle path)
+    out_p = {r.doc_id for r in
+             clean_corpus(df, min_quality=0.2, shingle_hash="portable").collect()}
+    assert out_p == set(out)
+
+
 def test_dedup_on_sf_documents(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = exact_dedup(docs)
