@@ -221,6 +221,16 @@ def main() -> None:
         extra["pages_pagerank_supersteps"] = len(r.metrics)
         directed.unpersist()
 
+    # -- training-data tier: composed corpus-cleaning pipeline --------
+    def corpus_clean_bench():
+        from linkgraph.functions.corpus import clean_corpus
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        extra["corpus_n_docs"] = docs.count()
+        extra["corpus_survivors"] = clean_corpus(docs).count()
+
+    timed("corpus_clean", corpus_clean_bench)
+
     timed("pages_pipeline", pages_spine)
     if timings["pages_pipeline"] > 0 and "pages_n_edges" in extra:
         extra["pages_edges_per_sec_per_superstep"] = round(
@@ -234,7 +244,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-queries wall time (graph build, PageRank@1e-6, CC, LPA, triangles, Louvain, incremental+screening, pages pipeline)",
+                "metric": "headline-queries wall time (graph build, PageRank@1e-6, CC, LPA, triangles, Louvain, incremental+screening, corpus clean, pages pipeline)",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
