@@ -10,7 +10,8 @@ Local smoke:
     python linkgraph/cli.py pagerank --edges /tmp/edges --output /tmp/pr
 
 Commands: ingest-pages, build-adjacency, pagerank, cc, lpa, louvain,
-triangles, incremental. Every command reads/writes parquet;
+triangles, incremental, clean-corpus. Every command reads/writes
+parquet;
 ``--checkpoint-dir`` enables mid-run resumability (durable superstep /
 per-phase checkpoints). Graph commands accept EITHER ``--edges`` (a
 parquet path) or ``--table`` (a catalog-known src-bucketed adjacency
@@ -92,6 +93,18 @@ def main(argv: list[str] | None = None) -> int:
         help="ignore an existing per-phase checkpoint and start fresh",
     )
 
+    sp = sub.add_parser(
+        "clean-corpus",
+        help="documents parquet -> cleaned survivors (quality filter, "
+        "language filter, exact dedup, verified near-dup removal)",
+    )
+    sp.add_argument("--docs", required=True, help="parquet (doc_id, text, ...)")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--min-quality", type=float, default=0.5)
+    sp.add_argument("--lang", default="en")
+    sp.add_argument("--jaccard-threshold", type=float, default=0.6)
+    sp.add_argument("--shuffle-partitions", type=int, default=None)
+
     args = p.parse_args(argv)
 
     from linkgraph.session import get_spark
@@ -106,6 +119,21 @@ def main(argv: list[str] | None = None) -> int:
         directed.write.mode("overwrite").parquet(f"{args.output}/edges_directed")
         undirected.write.mode("overwrite").parquet(f"{args.output}/edges")
         dictionary.write.mode("overwrite").parquet(f"{args.output}/url_dict")
+        return 0
+
+    if args.cmd == "clean-corpus":
+        from linkgraph.functions.corpus import clean_corpus
+
+        docs = spark.read.parquet(args.docs)
+        out = clean_corpus(
+            docs,
+            min_quality=args.min_quality,
+            lang=args.lang,
+            jaccard_threshold=args.jaccard_threshold,
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        print(json.dumps({"n_docs": docs.count(), "n_survivors": n_out}))
         return 0
 
     if args.cmd == "build-adjacency":

@@ -115,3 +115,31 @@ def test_cli_build_adjacency_and_table_fed_pagerank(spark, tmp_path, capsys):
     assert set(a) == set(b)
     assert all(abs(a[i] - b[i]) < 1e-12 for i in a)
     spark.sql("DROP TABLE t_cli_adj")
+
+
+def test_cli_clean_corpus(spark, tmp_path, capsys):
+    base = ("the cat and the dog of the house sat on the mat and "
+            "the bird of the garden flew over the wall of the town")
+    rows = [
+        (0, base),
+        (1, base),                               # exact dup
+        (2, base + " and then the night came"),  # near dup
+        (3, ""),                                  # fails quality
+    ]
+    docs_path = str(tmp_path / "docs")
+    out_path = str(tmp_path / "cleaned")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs_path)
+
+    rc = main(
+        [
+            "clean-corpus",
+            "--docs", docs_path,
+            "--output", out_path,
+            "--min-quality", "0.2",
+        ]
+    )
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta == {"n_docs": 4, "n_survivors": 1}
+    got = spark.read.parquet(out_path).collect()
+    assert [r.doc_id for r in got] == [0] and got[0].pred_lang == "en"
