@@ -106,6 +106,124 @@ def _q_louvain_move_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _move_round(edges, state, k_df, m, None, True).select("id", "community")
 
 
+def _q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/A10 reductions (counts + max weight/degree) over the
+    symmetric table (graph_binary.cpp:132-140)."""
+    from linkgraph.graph.hierarchy import graph_stats
+
+    return graph_stats(undirected_edges(spark, sf_dir))
+
+
+def _q_community_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3/A9 community sink (cluster{t}.txt analog) over the round-1
+    move assignment — the assignment itself is exact-oracled above."""
+    from linkgraph.graph.hierarchy import community_sizes
+
+    return community_sizes(_q_louvain_move_round1(spark, sf_dir))
+
+
+def _q_louvain_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 contraction (community_aggregation.cu:248-347): quotient
+    graph under the round-1 assignment — weights are sums of
+    integer-valued weights, so the comparison is exact."""
+    from linkgraph.graph.hierarchy import contract_graph
+
+    e = undirected_edges(spark, sf_dir)
+    return contract_graph(e, _q_louvain_move_round1(spark, sf_dir))
+
+
+def _q_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1/J7 flatten (main_hierarchy.cpp:112-161) of a REAL two-level
+    hierarchy: level 0 = the round-1 move assignment, level 1 = one
+    move round on the contracted quotient graph (both levels start
+    from singletons, so the same scaled-integer decision tree as
+    louvain_move_round1 applies — the quotient's self-loops live in k
+    but are excluded from e(v->C) by the P3 guard on both engines)."""
+    from linkgraph.graph.hierarchy import contract_graph, flatten_hierarchy
+    from linkgraph.operators.louvain import _k_table, _move_round
+
+    e = undirected_edges(spark, sf_dir)
+    moves0 = _q_louvain_move_round1(spark, sf_dir)
+    ced = contract_graph(e, moves0)
+    m = float(ced.groupBy().sum("weight").first()[0]) / 2.0
+    verts1 = ced.select(F.col("src").alias("id")).distinct()
+    state1 = verts1.select("id", F.col("id").alias("community"))
+    moves1 = _move_round(ced, state1, _k_table(ced), m, None, True)
+    hier = moves0.select(
+        F.lit(0).alias("level"), F.col("id").alias("node"), "community"
+    ).unionByName(
+        moves1.select(F.lit(1).alias("level"), F.col("id").alias("node"), "community")
+    )
+    return flatten_hierarchy(hier)
+
+
+def _q_comembership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3 sparse co-membership pairs (main_matrix.cpp:113-170) over the
+    round-1 assignment — O(sum |c|^2) by design; a small-scale debug
+    sink in the reference too (documented in graph/hierarchy.py)."""
+    from linkgraph.graph.hierarchy import comembership_pairs
+
+    return comembership_pairs(_q_louvain_move_round1(spark, sf_dir))
+
+
+def _q_renumber_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/K5 end-to-end: string vertex keys (urls synthesized
+    deterministically from the ids) -> distributed dense-id dictionary
+    (plans/ranks.py — range-partition + offset, no single-partition
+    sort) -> both endpoints remapped (graph.cpp:93-130). The oracle is
+    a plain ROW_NUMBER over the sorted urls, so this certifies the
+    distributed ranking scheme against the naive global sort."""
+    from linkgraph.graph.build import renumber, url_dictionary
+
+    e = undirected_edges(spark, sf_dir)
+    url = lambda c: F.concat(F.lit("https://example.org/p/"), F.col(c).cast("string"))
+    urls = e.select(url("src").alias("url")).distinct()
+    mapping = url_dictionary(urls).select(F.col("url").alias("old"), "id")
+    e_urls = e.select(
+        url("src").alias("src"), url("dst").alias("dst"), "weight"
+    )
+    return renumber(e_urls, mapping)
+
+
+def _q_zahn_move_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous move round of the GENERALIZED engine under
+    quality id 1 (Zahn-Condorcet, zahn.h:96-108) from singletons —
+    the extension tier's exact-oracle touchpoint, running the real
+    ``_move_round_q`` (folded state, CPU remove-then-evaluate own-gain,
+    W3 guard). From singletons the own-gain is exactly 0 and the guard
+    reduces to c < v, so acceptance is ``2*w - max_w > 0`` — integer
+    arithmetic on both engines."""
+    from linkgraph.operators.louvain_quality import _move_round_q
+
+    e = undirected_edges(spark, sf_dir)
+    row = e.agg(
+        F.sum("weight").alias("m2"), F.max("weight").alias("mw")
+    ).first()
+    m2, max_w = float(row["m2"]), float(row["mw"])
+    verts = e.select(F.col("src").alias("id")).distinct()
+    k_df = e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("k"))
+    self_df = (
+        e.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("weight").alias("self_w"))
+    )
+    per_node = (
+        verts.join(k_df, "id", "left")
+        .join(self_df, "id", "left")
+        .select(
+            "id",
+            F.col("id").alias("community"),
+            F.coalesce("k", F.lit(0.0)).alias("k"),
+            F.lit(1.0).alias("w_u"),
+            F.coalesce("self_w", F.lit(0.0)).alias("self_w"),
+        )
+    )
+    n = float(verts.count())
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    out = _move_round_q(e, per_node, 1, {}, m2, n, max_w, True, n_part)
+    return out.select("id", "community")
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -318,6 +436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_star": _q_cc_star,
         "lpa_k4": _q_lpa_k4,
         "louvain_move_round1": _q_louvain_move_round1,
+        "graph_stats": _q_graph_stats,
+        "community_sizes": _q_community_sizes,
+        "louvain_contract": _q_louvain_contract,
+        "hierarchy_flatten": _q_hierarchy_flatten,
+        "comembership": _q_comembership,
+        "renumber_edges": _q_renumber_edges,
+        "zahn_move_round1": _q_zahn_move_round1,
         "doc_tokens": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
         "lang_id": _q_lang_id,
@@ -425,32 +550,125 @@ def _lpa_sql(k: int) -> str:
     return body + f"SELECT id, label FROM l{k}"
 
 
+def _move_cte(eh: str, sfx: str) -> str:
+    """CTE chain for one singleton-start Louvain move round over edge
+    relation ``eh`` (symmetric, self-loops allowed — they live in k but
+    are excluded from e(v->C), exactly the operator's P3 guard); the
+    final CTE ``moves{sfx}`` is the (id, community) assignment.
+
+    Singleton-start reductions (hold for ANY such relation, including
+    contracted quotient graphs): tot_c = k_c, sizes all 1 (swap guard
+    reduces to c < v), e_own = 0, tot_cur = k_v (acceptance constant
+    k_v*(tot_cur - k_v) exactly 0.0); same scaled-score tree as the
+    Spark operator: S = 2M*w - k_v*k_c, move iff S_best > 0 — exact
+    integer arithmetic on both engines."""
+    return f"""k{sfx} AS (SELECT src AS id, sum(weight) AS k FROM {eh} GROUP BY src),
+      mm{sfx} AS (SELECT sum(weight)/2.0 AS m FROM {eh}),
+      w_vc{sfx} AS (SELECT src AS vid, dst AS c, sum(weight) AS w
+               FROM {eh} WHERE src <> dst GROUP BY src, dst),
+      cand{sfx} AS (
+        SELECT w.vid, w.c,
+               2.0 * (SELECT m FROM mm{sfx}) * w.w - kv.k * kc.k AS s
+        FROM w_vc{sfx} w
+        JOIN k{sfx} kv ON kv.id = w.vid
+        JOIN k{sfx} kc ON kc.id = w.c
+        WHERE w.c < w.vid
+      ),
+      best{sfx} AS (
+        SELECT vid, c, s,
+               row_number() OVER (PARTITION BY vid ORDER BY s DESC, c ASC) AS rn
+        FROM cand{sfx}
+      ),
+      moves{sfx} AS MATERIALIZED (
+        SELECT v.id,
+               CAST(CASE WHEN b.s > 0 THEN b.c ELSE v.id END AS BIGINT) AS community
+        FROM (SELECT DISTINCT src AS id FROM {eh}) v
+        LEFT JOIN (SELECT * FROM best{sfx} WHERE rn = 1) b ON b.vid = v.id
+      )"""
+
+
 def _louvain_move_round1_sql() -> str:
-    """Singleton-partition move round: tot_c = k_c, sizes all 1 (so the
-    swap guard reduces to c < v), e_own = 0, tot_cur = k_v (so the
-    acceptance constant k_v*(tot_cur - k_v) is exactly 0.0); same
-    scaled-score tree as the Spark operator: S = 2M*w - k_v*k_c, move
-    iff S_best > 0 — exact integer arithmetic on both engines."""
     return f"""WITH {EDGES_CTE},
-      k AS (SELECT src AS id, sum(weight) AS k FROM edges GROUP BY src),
-      mm AS (SELECT sum(weight)/2.0 AS m FROM edges),
+      {_move_cte('edges', '0')}
+    SELECT id, community FROM moves0"""
+
+
+def _community_sizes_sql() -> str:
+    return f"""WITH {EDGES_CTE},
+      {_move_cte('edges', '0')}
+    SELECT community, count(*) AS size FROM moves0 GROUP BY community"""
+
+
+def _louvain_contract_sql() -> str:
+    return f"""WITH {EDGES_CTE},
+      {_move_cte('edges', '0')}
+    SELECT ms.community AS src, md.community AS dst, sum(e.weight) AS weight
+    FROM edges e
+    JOIN moves0 ms ON ms.id = e.src
+    JOIN moves0 md ON md.id = e.dst
+    GROUP BY 1, 2"""
+
+
+def _hierarchy_flatten_sql() -> str:
+    """Two-level flatten: level-0 move round, contraction, level-1 move
+    round over the quotient (the quotient's self-loops are handled by
+    the _move_cte reductions), then the H1 composition join."""
+    return f"""WITH {EDGES_CTE},
+      {_move_cte('edges', '0')},
+      cedges AS MATERIALIZED (
+        SELECT ms.community AS src, md.community AS dst, sum(e.weight) AS weight
+        FROM edges e
+        JOIN moves0 ms ON ms.id = e.src
+        JOIN moves0 md ON md.id = e.dst
+        GROUP BY 1, 2
+      ),
+      {_move_cte('cedges', '1')}
+    SELECT m0.id AS node, m1.community AS community
+    FROM moves0 m0
+    JOIN moves1 m1 ON m1.id = m0.community"""
+
+
+def _graph_stats_sql() -> str:
+    return f"""WITH {EDGES_CTE},
+      deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)
+    SELECT (SELECT count(*) FROM edges) AS nb_links,
+           (SELECT max(weight) FROM edges) AS max_weight,
+           (SELECT count(DISTINCT src) FROM edges) AS n_src,
+           (SELECT max(d) FROM deg) AS max_degree"""
+
+
+def _renumber_edges_sql() -> str:
+    return f"""WITH {EDGES_CTE},
+      dict AS MATERIALIZED (
+        SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS nid
+        FROM (SELECT DISTINCT 'https://example.org/p/' || src AS url FROM edges)
+      )
+    SELECT ds.nid AS src, dd.nid AS dst, e.weight
+    FROM edges e
+    JOIN dict ds ON ds.url = 'https://example.org/p/' || e.src
+    JOIN dict dd ON dd.url = 'https://example.org/p/' || e.dst"""
+
+
+def _zahn_move_round1_sql() -> str:
+    """Generalized engine, quality id 1 (zahn.h:96-108), one singleton
+    round: candidate gain 2*w - w_u*w_c*max_w with unit node weights;
+    own-gain with the node removed is exactly 0 (w_c - w_u = 0), so
+    acceptance is gain > 0; swap guard reduces to c < v."""
+    return f"""WITH {EDGES_CTE},
+      mw AS (SELECT max(weight) AS mw FROM edges),
       w_vc AS (SELECT src AS vid, dst AS c, sum(weight) AS w
                FROM edges WHERE src <> dst GROUP BY src, dst),
       cand AS (
-        SELECT w.vid, w.c,
-               2.0 * (SELECT m FROM mm) * w.w - kv.k * kc.k AS s
-        FROM w_vc w
-        JOIN k kv ON kv.id = w.vid
-        JOIN k kc ON kc.id = w.c
-        WHERE w.c < w.vid
+        SELECT vid, c, 2.0 * w - 1.0 * 1.0 * (SELECT mw FROM mw) AS g
+        FROM w_vc WHERE c < vid
       ),
       best AS (
-        SELECT vid, c, s,
-               row_number() OVER (PARTITION BY vid ORDER BY s DESC, c ASC) AS rn
+        SELECT vid, c, g,
+               row_number() OVER (PARTITION BY vid ORDER BY g DESC, c ASC) AS rn
         FROM cand
       )
     SELECT v.id,
-           CAST(CASE WHEN b.s > 0 THEN b.c ELSE v.id END AS BIGINT) AS community
+           CAST(CASE WHEN b.g > 0 THEN b.c ELSE v.id END AS BIGINT) AS community
     FROM (SELECT DISTINCT src AS id FROM edges) v
     LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.vid = v.id"""
 
@@ -848,6 +1066,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, count(*) AS n_tri FROM parts GROUP BY id""",
         "lpa_k4": _lpa_sql(4),
         "louvain_move_round1": _louvain_move_round1_sql(),
+        "graph_stats": _graph_stats_sql(),
+        "community_sizes": _community_sizes_sql(),
+        "louvain_contract": _louvain_contract_sql(),
+        "hierarchy_flatten": _hierarchy_flatten_sql(),
+        "comembership": f"""WITH {EDGES_CTE},
+      {_move_cte('edges', '0')}
+    SELECT x.id AS a, y.id AS b
+    FROM moves0 x JOIN moves0 y ON x.community = y.community AND x.id < y.id""",
+        "renumber_edges": _renumber_edges_sql(),
+        "zahn_move_round1": _zahn_move_round1_sql(),
         "doc_tokens": f"""SELECT doc_id,
               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
               CAST(length(text) AS BIGINT) AS n_chars_computed

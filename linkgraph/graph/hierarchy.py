@@ -59,6 +59,28 @@ def comembership_pairs(state: DataFrame) -> DataFrame:
     return x.join(y, "community").filter(F.col("a") < F.col("b")).select("a", "b")
 
 
+def contract_graph(
+    edges: DataFrame, mapping: DataFrame, broadcast_maps: bool = False
+) -> DataFrame:
+    """A7: quotient graph under a (id, community) assignment — both
+    endpoints remapped, parallel edges merged by weight sum (reference
+    ``community_aggregation.cu:248-347``). On a symmetric input the
+    output is symmetric; intra-community weight collapses onto the
+    diagonal (self-loops). The Louvain level loops call this with their
+    per-level dense assignment; ``broadcast_maps`` mirrors their
+    small-graph path."""
+    map_s = mapping.select(F.col("id").alias("ms"), F.col("community").alias("cs"))
+    map_d = mapping.select(F.col("id").alias("md"), F.col("community").alias("cd"))
+    if broadcast_maps:
+        map_s, map_d = F.broadcast(map_s), F.broadcast(map_d)
+    return (
+        edges.join(map_s, edges.src == F.col("ms"))
+        .join(map_d, edges.dst == F.col("md"))
+        .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
 def add_selfloops(edges: DataFrame) -> DataFrame:
     """G3: ensure every vertex has a self-loop (weight 1.0 where absent)."""
     verts = (

@@ -740,16 +740,9 @@ def louvain(
         next_self = e_own_final
 
         # A7: contract to the quotient graph
-        map_s = state_dense.select(F.col("id").alias("ms"), F.col("community").alias("cs"))
-        map_d = state_dense.select(F.col("id").alias("md"), F.col("community").alias("cd"))
-        if small:
-            map_s, map_d = F.broadcast(map_s), F.broadcast(map_d)
-        contracted = (
-            cur_edges.join(map_s, cur_edges.src == F.col("ms"))
-            .join(map_d, cur_edges.dst == F.col("md"))
-            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
-            .agg(F.sum("weight").alias("weight"))
-        )
+        from linkgraph.graph.hierarchy import contract_graph
+
+        contracted = contract_graph(cur_edges, state_dense, broadcast_maps=small)
         if not small:
             contracted = contracted.repartition(n_part, "src")
         nxt = barrier(

@@ -48,7 +48,7 @@ from linkgraph.functions.quality import (
     graph_weighting,
     quality_value,
 )
-from linkgraph.graph.hierarchy import add_selfloops
+from linkgraph.graph.hierarchy import add_selfloops, contract_graph
 from linkgraph.operators.louvain import _dense_communities, _k_table
 from linkgraph.plans.superstep import barrier, release
 
@@ -456,16 +456,7 @@ def louvain_generalized(
         if n_comms == n_nodes:
             break
         n_nodes = n_comms
-        map_s = state_dense.select(F.col("id").alias("ms"), F.col("community").alias("cs"))
-        map_d = state_dense.select(F.col("id").alias("md"), F.col("community").alias("cd"))
-        if small:
-            map_s, map_d = F.broadcast(map_s), F.broadcast(map_d)
-        contracted = (
-            cur_edges.join(map_s, cur_edges.src == F.col("ms"))
-            .join(map_d, cur_edges.dst == F.col("md"))
-            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
-            .agg(F.sum("weight").alias("weight"))
-        )
+        contracted = contract_graph(cur_edges, state_dense, broadcast_maps=small)
         if not small:
             contracted = contracted.repartition(n_part, "src")
         nxt = barrier(
