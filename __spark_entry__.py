@@ -185,6 +185,23 @@ def _q_renumber_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return renumber(e_urls, mapping)
 
 
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webgraph host rollup: page urls (synthesized deterministically —
+    97 hosts, ids spread across them) aggregated to the host-level
+    graph. The host extraction regex runs verbatim on both engines."""
+    from linkgraph.graph.build import host_graph
+
+    e = undirected_edges(spark, sf_dir)
+    url = lambda c: F.concat(
+        F.lit("https://Host"),
+        (F.col(c) % 97).cast("string"),
+        F.lit(".example/p/"),
+        F.col(c).cast("string"),
+    )
+    pages = e.select(url("src").alias("src"), url("dst").alias("dst"), "weight")
+    return host_graph(pages)
+
+
 def _q_zahn_move_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One synchronous move round of the GENERALIZED engine under
     quality id 1 (Zahn-Condorcet, zahn.h:96-108) from singletons —
@@ -442,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hierarchy_flatten": _q_hierarchy_flatten,
         "comembership": _q_comembership,
         "renumber_edges": _q_renumber_edges,
+        "host_graph": _q_host_graph,
         "zahn_move_round1": _q_zahn_move_round1,
         "doc_tokens": _q_doc_tokens,
         "doc_quality": _q_doc_quality,
@@ -1075,6 +1093,17 @@ def oracle_sql() -> dict[str, str]:
     SELECT x.id AS a, y.id AS b
     FROM moves0 x JOIN moves0 y ON x.community = y.community AND x.id < y.id""",
         "renumber_edges": _renumber_edges_sql(),
+        "host_graph": f"""WITH {EDGES_CTE},
+      pages AS (
+        SELECT 'https://Host' || (src % 97) || '.example/p/' || src AS src,
+               'https://Host' || (dst % 97) || '.example/p/' || dst AS dst,
+               weight
+        FROM edges
+      )
+    SELECT lower(regexp_extract(src, '^(?:[a-z][a-z0-9+.-]*://)?([^/?#]+)', 1)) AS src_host,
+           lower(regexp_extract(dst, '^(?:[a-z][a-z0-9+.-]*://)?([^/?#]+)', 1)) AS dst_host,
+           count(*) AS n_links, sum(weight) AS weight
+    FROM pages GROUP BY 1, 2""",
         "zahn_move_round1": _zahn_move_round1_sql(),
         "doc_tokens": f"""SELECT doc_id,
               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,

@@ -69,3 +69,24 @@ def test_url_dictionary_and_renumber(spark):
     out = {(r.src, r.dst) for r in renumber(edges, mapping).collect()}
     # x.com not in dictionary -> edge dropped (isolated-node semantics)
     assert out == {(0, 2)}
+
+
+def test_host_graph_rollup(spark):
+    from linkgraph.graph.build import host_graph
+
+    rows = [
+        ("https://A.example/x", "http://b.example/y", 2.0),
+        ("a.example/z?q=1", "https://b.example/", 3.0),
+        ("https://b.example/q#frag", "https://b.example/r", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, weight double")
+    out = {
+        (r.src_host, r.dst_host): (r.n_links, r.weight)
+        for r in host_graph(df).collect()
+    }
+    # scheme optional, case folded, path/query/fragment stripped;
+    # intra-host links survive as a self-loop
+    assert out == {
+        ("a.example", "b.example"): (2, 5.0),
+        ("b.example", "b.example"): (1, 1.0),
+    }
