@@ -347,6 +347,29 @@ def _q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(_docs(spark, sf_dir))
 
 
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split (10% test) over the documents
+    table — portable-hash bucketing, so the DuckDB oracle re-derives
+    the exact buckets and split labels."""
+    from linkgraph.functions.corpus import split_corpus
+
+    return split_corpus(_docs(spark, sf_dir), test_frac=0.1).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quota sampling (en 50% / de 25% / fr 10%) — the
+    data-mixing step of a training pipeline, filter-only at scale."""
+    from linkgraph.functions.corpus import stratified_sample
+    from linkgraph.functions.text import language_id
+
+    langs = language_id(_docs(spark, sf_dir))
+    return stratified_sample(
+        langs, {"en": 0.5, "de": 0.25, "fr": 0.1}
+    ).select("doc_id", "pred_lang", "bucket")
+
+
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.functions.similarity import knn_bruteforce
 
@@ -471,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash,
         "doc_fingerprint": _q_doc_fingerprint,
         "corpus_clean": _q_corpus_clean,
+        "corpus_split": _q_corpus_split,
+        "stratified_sample": _q_stratified_sample,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -950,6 +975,35 @@ def _corpus_clean_sql(
     WHERE r.doc_id IS NULL"""
 
 
+def _split_bucket_sql(salt: int) -> str:
+    """functions.corpus._key_bucket re-derived: portable polynomial
+    char hash of '{salt}:{doc_id}:x7f3q' mod SPLIT_DENOM (hash is
+    non-negative, so % == pmod)."""
+    key = f"'{salt}:' || doc_id || ':x7f3q'"
+    return f"({_ptok_sql(key, 131)}) % 1000000"
+
+
+def _corpus_split_sql(test_frac: float = 0.1, salt: int = 17) -> str:
+    thresh = int(round(test_frac * 1_000_000))
+    return f"""SELECT doc_id, {_split_bucket_sql(salt)} AS bucket,
+           CASE WHEN {_split_bucket_sql(salt)} < {thresh}
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents"""
+
+
+def _stratified_sample_sql(salt: int = 29) -> str:
+    """functions.corpus.stratified_sample over language_id output with
+    quotas en 0.5 / de 0.25 / fr 0.1 (und rows have no quota entry and
+    are dropped — the NULL-threshold comparison on both engines)."""
+    thresh = """CASE pred_lang WHEN 'en' THEN 500000
+                               WHEN 'de' THEN 250000
+                               WHEN 'fr' THEN 100000 END"""
+    return f"""WITH lang AS MATERIALIZED ({_lang_id_sql()})
+    SELECT doc_id, pred_lang, {_split_bucket_sql(salt)} AS bucket
+    FROM lang
+    WHERE {_split_bucket_sql(salt)} < ({thresh})"""
+
+
 def _minhash_lsh_sql(
     num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
 ) -> str:
@@ -1124,6 +1178,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(3),
         "doc_fingerprint": _fingerprint_sql(),
         "corpus_clean": _corpus_clean_sql(),
+        "corpus_split": _corpus_split_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "knn_cosine": _knn_cosine_sql(),
         "embedding_near_dup": """WITH v AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

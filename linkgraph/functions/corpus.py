@@ -71,3 +71,75 @@ def clean_corpus(
     return kept.join(removed, "doc_id", "left_anti").select(
         "doc_id", "quality_score", "pred_lang"
     )
+
+
+#: split/sample bucket denominator — thresholds are integer bucket
+#: counts out of this, so both engines compare exact integers.
+SPLIT_DENOM = 1_000_000
+
+
+def _key_bucket(key_col: str, salt: int) -> F.Column:
+    """Deterministic bucket in [0, SPLIT_DENOM) from the portable
+    31-bit polynomial char hash of ``"{salt}:{key}:x7f3q"``.
+
+    The constant tail matters: the polynomial hash is linear in the
+    last character, so without it consecutive integer keys would land
+    in consecutive buckets (striped, correlated splits). Each tail
+    character multiplies a neighboring-key delta by 131, so adjacent
+    keys end up ~uniformly spread. Pure Column arithmetic — no UDF, no
+    shuffle — and bit-for-bit reproducible in any engine with 64-bit
+    ints (the harness oracles re-derive it in DuckDB SQL), so a
+    train/test split survives engine migrations and re-partitioning,
+    and adding documents never reassigns existing ones (hash-based,
+    not rank-based)."""
+    from linkgraph.functions.text import portable_token_hash
+
+    key = F.concat(
+        F.lit(f"{salt}:"), F.col(key_col).cast("string"), F.lit(":x7f3q")
+    )
+    return F.pmod(portable_token_hash(key), F.lit(SPLIT_DENOM).cast("long"))
+
+
+def split_corpus(
+    df: DataFrame,
+    test_frac: float = 0.1,
+    key_col: str = "doc_id",
+    salt: int = 17,
+) -> DataFrame:
+    """Deterministic train/test split for a training corpus: adds
+    (bucket, split) where split = 'test' iff bucket < test_frac of the
+    bucket space. One scan, zero shuffles; see ``_key_bucket`` for the
+    reproducibility contract."""
+    thresh = int(round(test_frac * SPLIT_DENOM))
+    bucket = _key_bucket(key_col, salt)
+    return df.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < F.lit(thresh), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "pred_lang",
+    key_col: str = "doc_id",
+    salt: int = 29,
+) -> DataFrame:
+    """Per-group deterministic fraction sampling — the data-mixing
+    quota step of a training pipeline (e.g. keep 50% en / 25% de /
+    10% fr). Rows whose group value has no entry in ``fractions`` are
+    dropped. The keep decision is the same portable hash rule as
+    ``split_corpus`` with per-group integer thresholds, so the sample
+    is reproducible across engines/runs and FILTER-ONLY at 100 TB
+    (one scan, no shuffle, no per-group sort — unlike exact-k quota
+    sampling, which needs a global rank per group)."""
+    thresholds = {g: int(round(f * SPLIT_DENOM)) for g, f in fractions.items()}
+    thresh = F.lit(None).cast("long")
+    for g, t in thresholds.items():
+        thresh = F.when(F.col(group_col) == F.lit(g), F.lit(t)).otherwise(thresh)
+    bucket = _key_bucket(key_col, salt)
+    return df.withColumn("bucket", bucket).filter(
+        F.col("bucket") < thresh
+    )

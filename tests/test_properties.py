@@ -100,3 +100,40 @@ def test_contract_identity_mapping_is_clean(spark, edges):
         (r["src"], r["dst"]): r["weight"] for r in clean_edges(df).collect()
     }
     assert got == want
+
+
+def test_split_corpus_deterministic_and_stable(spark):
+    """Hash split: ~test_frac of rows in 'test' (uniformity band),
+    byte-identical across calls, and adding documents never reassigns
+    existing ones (the subset's labels agree with the superset's)."""
+    from linkgraph.functions.corpus import split_corpus
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    out = split_corpus(docs, test_frac=0.2)
+    labels = {r["doc_id"]: (r["split"], r["bucket"]) for r in out.collect()}
+    n_test = sum(1 for s, _ in labels.values() if s == "test")
+    assert 0.12 <= n_test / 2000 <= 0.28
+    sub = split_corpus(docs.filter("doc_id < 500"), test_frac=0.2)
+    assert all(
+        labels[r["doc_id"]] == (r["split"], r["bucket"]) for r in sub.collect()
+    )
+
+
+def test_stratified_sample_quotas(spark):
+    """Per-group fraction sampling: full-quota group kept whole,
+    half-quota group lands in the uniformity band, unlisted group
+    dropped entirely; sample is deterministic."""
+    from linkgraph.functions.corpus import stratified_sample
+
+    rows = [(i, "a" if i % 3 == 0 else ("b" if i % 3 == 1 else "c")) for i in range(1800)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = stratified_sample(df, {"a": 1.0, "b": 0.5}, group_col="grp")
+    got = [(r["doc_id"], r["grp"]) for r in out.collect()]
+    per = {}
+    for _, g in got:
+        per[g] = per.get(g, 0) + 1
+    assert per.get("a") == 600 and "c" not in per
+    assert 0.35 <= per.get("b", 0) / 600 <= 0.65
+    again = [(r["doc_id"], r["grp"]) for r in
+             stratified_sample(df, {"a": 1.0, "b": 0.5}, group_col="grp").collect()]
+    assert sorted(got) == sorted(again)
