@@ -370,6 +370,27 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "pred_lang", "bucket")
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: probe set = every 50th document
+    (standing in for an eval benchmark); docs sharing any word 8-gram
+    with it are dropped — broadcast semi/anti-join shape."""
+    from linkgraph.functions.corpus import decontaminate
+
+    d = _docs(spark, sf_dir)
+    probe = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(d, probe, n=8).select("doc_id")
+
+
+def _q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token bins across 8 hash shards —
+    deterministic shard + key order, exclusive-prefix-sum binning."""
+    from linkgraph.functions.corpus import pack_documents
+
+    return pack_documents(
+        _docs(spark, sf_dir), max_tokens_per_bin=512, n_shards=8
+    ).select("doc_id", "n_tokens", "shard", "bin_id")
+
+
 def _q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from linkgraph.functions.similarity import knn_bruteforce
 
@@ -496,6 +517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _q_corpus_clean,
         "corpus_split": _q_corpus_split,
         "stratified_sample": _q_stratified_sample,
+        "decontaminate": _q_decontaminate,
+        "pack_documents": _q_pack_documents,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1004,6 +1027,47 @@ def _stratified_sample_sql(salt: int = 29) -> str:
     WHERE {_split_bucket_sql(salt)} < ({thresh})"""
 
 
+def _decontaminate_sql(n: int = 8) -> str:
+    """functions.corpus.decontaminate with probe = doc_id % 50 == 0:
+    distinct word n-grams per doc, contaminated = shares any shingle
+    with the probe set, survivors anti-joined."""
+    return f"""WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    sh AS MATERIALIZED (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) >= {n}
+             THEN list_transform(generate_series(1, len(t) - {n - 1}),
+                                 i -> array_to_string(t[i:i+{n - 1}], ' '))
+             ELSE [] END)) AS shingle
+      FROM toks
+    ),
+    probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN probe p USING (shingle))
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN bad ON bad.doc_id = d.doc_id
+    WHERE bad.doc_id IS NULL"""
+
+
+def _pack_documents_sql(
+    max_tokens: int = 512, n_shards: int = 8, salt: int = 41
+) -> str:
+    """functions.corpus.pack_documents: portable-hash shard, key-ordered
+    exclusive prefix sum of token counts, bin every max_tokens."""
+    key = f"'{salt}:' || doc_id || ':x7f3q'"
+    return f"""WITH base AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST((({_ptok_sql(key, 131)}) % 1000000) % {n_shards} AS INT) AS shard
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(shard AS BIGINT) * {1 << 32}
+           + CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 / {max_tokens}.0) AS BIGINT) AS bin_id
+    FROM base"""
+
+
 def _minhash_lsh_sql(
     num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
 ) -> str:
@@ -1180,6 +1244,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": _corpus_clean_sql(),
         "corpus_split": _corpus_split_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "decontaminate": _decontaminate_sql(8),
+        "pack_documents": _pack_documents_sql(),
         "knn_cosine": _knn_cosine_sql(),
         "embedding_near_dup": """WITH v AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

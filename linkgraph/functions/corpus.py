@@ -143,3 +143,80 @@ def stratified_sample(
     return df.withColumn("bucket", bucket).filter(
         F.col("bucket") < thresh
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: drop every document sharing ANY word
+    n-gram with the probe set (the standard pre-training hygiene step —
+    n defaults to 8, the common contamination rule). Returns the
+    surviving rows of ``df`` with all columns.
+
+    Scale shape: the probe side (an eval benchmark) is tiny, so its
+    distinct shingles BROADCAST; the corpus pays one scan + a broadcast
+    semi-join to find contaminated ids and a broadcast anti-join to
+    drop them — corpus rows never shuffle. Shingling reuses
+    ``dedup.shingle_arrays`` (the single-reference fold — tokenization
+    is O(tokens), not O(tokens²))."""
+    from linkgraph.functions.dedup import shingle_arrays
+
+    probe_sh = (
+        shingle_arrays(probe.select(text_col), text_col, n)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    contaminated = (
+        shingle_arrays(df.select("doc_id", text_col), text_col, n)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .join(F.broadcast(probe_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return df.join(contaminated, "doc_id", "left_anti")
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens_per_bin: int = 2048,
+    n_shards: int = 64,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: int = 41,
+) -> DataFrame:
+    """Sequence packing: assign every document to a fixed token-budget
+    bin (the pre-training batch-packing step). Documents are sharded by
+    the portable key hash, ordered by key inside each shard, and binned
+    by the EXCLUSIVE prefix sum of their token counts — a new bin every
+    ``max_tokens_per_bin`` tokens; a document straddling a boundary
+    stays in the bin its prefix starts in (greedy contiguous fill).
+
+    Deterministic (hash shard + key order — no partition-dependent
+    state), and scalable: the only sort is the per-shard window, and a
+    shard holds ~|corpus|/n_shards documents, so pick n_shards ~ the
+    cluster's task parallelism at 100 TB (the global-sort packing this
+    replaces is the single-reducer trap). Returns ``df`` plus
+    (n_tokens, shard, bin_id); bin_id = shard * 2^32 + bin-in-shard.
+    """
+    from pyspark.sql import Window
+
+    from linkgraph.functions.text import token_count
+
+    out = df.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+    out = out.withColumn(
+        "shard", F.pmod(_key_bucket(key_col, salt), F.lit(n_shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    bin_in_shard = F.floor(cum_excl / F.lit(max_tokens_per_bin)).cast("long")
+    return out.withColumn(
+        "bin_id",
+        F.col("shard").cast("long") * F.lit(1 << 32).cast("long") + bin_in_shard,
+    )

@@ -137,3 +137,53 @@ def test_stratified_sample_quotas(spark):
     again = [(r["doc_id"], r["grp"]) for r in
              stratified_sample(df, {"a": 1.0, "b": 0.5}, group_col="grp").collect()]
     assert sorted(got) == sorted(again)
+
+
+def test_decontaminate_drops_ngram_overlap(spark):
+    """A doc sharing an 8-gram with the probe is dropped; disjoint and
+    too-short docs survive; probe members themselves are dropped."""
+    from linkgraph.functions.corpus import decontaminate
+
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, bench),                                      # probe member
+        (1, "prefix words " + bench + " suffix words"),  # contains the 8-gram
+        (2, "a completely different document with plenty of words inside it"),
+        (3, "too short to shingle"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    probe = df.filter("doc_id = 0")
+    got = {r["doc_id"] for r in decontaminate(df, probe, n=8).collect()}
+    assert got == {2, 3}
+
+
+def test_pack_documents_budget_and_determinism(spark):
+    """Every doc lands in exactly one bin; within a bin, the exclusive
+    prefix rule holds (all docs but the last fit under the budget);
+    bins are contiguous in key order per shard; re-run is identical."""
+    from linkgraph.functions.corpus import pack_documents
+
+    rows = [(i, "w " * (5 + (i * 7) % 40)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_documents(df, max_tokens_per_bin=64, n_shards=4)
+    recs = [
+        (r["shard"], r["bin_id"], r["doc_id"], r["n_tokens"])
+        for r in out.collect()
+    ]
+    assert len(recs) == 300 and len({r[2] for r in recs}) == 300
+    bins: dict[int, list[tuple[int, int]]] = {}
+    for shard, bin_id, doc_id, nt in recs:
+        assert bin_id >> 32 == shard
+        bins.setdefault(bin_id, []).append((doc_id, nt))
+    for members in bins.values():
+        members.sort()
+        assert sum(nt for _, nt in members[:-1]) < 64
+    # per shard, bin index is non-decreasing in key order
+    for shard in {r[0] for r in recs}:
+        seq = sorted((d, b) for s, b, d, _ in recs if s == shard)
+        assert all(seq[i][1] <= seq[i + 1][1] for i in range(len(seq) - 1))
+    again = [
+        (r["shard"], r["bin_id"], r["doc_id"], r["n_tokens"])
+        for r in pack_documents(df, max_tokens_per_bin=64, n_shards=4).collect()
+    ]
+    assert sorted(recs) == sorted(again)
