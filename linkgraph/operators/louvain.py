@@ -515,6 +515,7 @@ def louvain(
     salt_hubs: bool | None = None,
     hub_degree_threshold: int = 1_000_000,
     pre_partitioned: bool = False,
+    local_threshold: int = 50_000,
 ) -> LouvainResult:
     """Run multi-level Louvain on a symmetric weighted edge table
     (both directions present, self-loops once — graph.build.build_graph
@@ -542,6 +543,15 @@ def louvain(
     at the session partition count (the K1 bucketed layout) — the
     big path's one-time level-0 edge repartition is skipped (the
     gather joins along src, so the bucketing feeds it directly).
+    local_threshold: once a POST-CONTRACTION quotient has at most this
+    many vertices, the remaining levels run on the driver
+    (operators/louvain_local.py — same synchronous schedule and
+    scaled-integer algebra, labels/Q/levels/metrics identical, tested)
+    instead of paying ~12 fixed-overhead Spark jobs per tiny level;
+    the reference runs the whole optimization on one device
+    (gpulouvain.cu), so this is the faithful hybrid. 0 disables
+    (pure distributed — the plan-audit configuration). Level 0 always
+    runs distributed (warm starts and frontiers live there).
     """
     # pre_partitioned inputs are already materialized by the caller
     # (a persisted bucketed-table read, or the incremental loop's
@@ -679,6 +689,50 @@ def louvain(
     n_nodes = n
     next_self: float | None = self_total0
     for level in range(max_levels):
+        if level > 0 and local_threshold > 0 and n_nodes <= local_threshold:
+            # small-quotient fast path: post-contraction levels start
+            # from singletons with no frontier, so the collected
+            # quotient (dense ids 0..n_nodes-1 by the contraction
+            # invariant) fully determines the rest of the run
+            from linkgraph.operators.louvain_local import run_local_levels
+
+            rows = cur_edges.select("src", "dst", "weight").collect()
+            level_maps, q_final, lv_local, m_local = run_local_levels(
+                rows, n_nodes, m, min_gain, max_rounds_per_level,
+                max_levels - level, level,
+            )
+            metrics.extend(m_local)
+            levels_done = level + lv_local
+            comp: dict[int, int] | None = None
+            for li, dense_map in enumerate(level_maps):
+                hierarchy_rows.append(
+                    spark.createDataFrame(
+                        [(level + li, int(nd), int(c)) for nd, c in dense_map.items()],
+                        "level int, node long, community long",
+                    )
+                )
+                comp = (
+                    dict(dense_map)
+                    if comp is None
+                    else {o: dense_map[n] for o, n in comp.items()}
+                )
+            if comp is not None:
+                comp_df = F.broadcast(
+                    spark.createDataFrame(
+                        [(int(o), int(c)) for o, c in comp.items()],
+                        "node long, final long",
+                    )
+                )
+                orig_map = barrier(
+                    orig_map.join(comp_df, "node").select(
+                        "orig", F.col("final").alias("node")
+                    ),
+                    reset_stats=True,
+                )
+            if cur_edges is not e:
+                release(cur_edges)
+            cur_edges = e  # poison-proof: nothing below runs after break
+            break
         cur_state, improved, q_final, e_own_final = _one_level(
             spark,
             cur_edges,

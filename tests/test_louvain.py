@@ -134,3 +134,41 @@ def test_louvain_warmstart_fallback_no_collision(spark):
     got = {r.id: r.community for r in res.assignment.collect()}
     assert len(set(got.values())) == 4
     assert got[5] != got[0] and got[6] != got[1]
+
+
+def test_local_fastpath_identical_to_distributed(spark):
+    """The small-quotient local fast path (louvain_local.py) must be
+    byte-identical to the pure distributed loop: labels, modularity,
+    level count, and recorded hierarchy — on a graph big enough to run
+    several levels."""
+    from pyspark.sql import functions as F
+
+    edges = build_graph(
+        spark.createDataFrame(
+            random_edges(400, 1400, seed=9), "src long, dst long, weight double"
+        )
+    )
+    fast = louvain(spark, edges)  # default local_threshold: levels >= 1 local
+    slow = louvain(spark, edges, local_threshold=0)  # pure distributed
+    a = {r["id"]: r["community"] for r in fast.assignment.collect()}
+    b = {r["id"]: r["community"] for r in slow.assignment.collect()}
+    assert a == b
+    assert fast.modularity == slow.modularity
+    assert fast.levels == slow.levels
+    ha = sorted(
+        (r["level"], r["node"], r["community"]) for r in fast.hierarchy.collect()
+    )
+    hb = sorted(
+        (r["level"], r["node"], r["community"]) for r in slow.hierarchy.collect()
+    )
+    assert ha == hb
+    # metric trail agrees on the measured (level, round, q) sequence
+    ma = [(x["level"], x["round"], x["q"]) for x in fast.metrics if "round" in x]
+    mb = [(x["level"], x["round"], x["q"]) for x in slow.metrics if "round" in x]
+    assert ma == mb
+    # and both match the independent NumPy oracle
+    rows = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]
+    want, q_want, lv_want = louvain_oracle(rows)
+    assert a == want and abs(fast.modularity - q_want) < 1e-12
+    assert fast.levels == lv_want
+    assert F is not None
