@@ -213,11 +213,14 @@ def main() -> None:
     def pages_spine():
         pages = generate_pages(spark, n_pages, seed=42, partitions=cpus)
         directed, und, _ = pages_to_graph(spark, pages)
-        directed = directed.persist()
+        # hash(src) layout before the iterative phase (charged here):
+        # every superstep then runs the exchange-free co-partitioned
+        # plan instead of a per-superstep broadcast rebuild
+        directed = directed.repartition(cpus, "src").persist()
         m = directed.count()
         extra["pages_n_edges"] = m
         r = SuperstepRunner(spark, run_id="bench-pages-pr", max_iter=100)
-        pagerank(spark, directed, tol=1e-6, runner=r).count()
+        pagerank(spark, directed, tol=1e-6, runner=r, pre_partitioned=True).count()
         extra["pages_pagerank_supersteps"] = len(r.metrics)
         directed.unpersist()
 

@@ -92,7 +92,9 @@ def connected_components(
         .distinct()
     )
     n = verts.count()
-    small = n <= broadcast_threshold
+    # a pre-partitioned (K1 bucketed) input selects the co-partitioned
+    # plan regardless of size — see pagerank.py's rationale
+    small = (not pre_partitioned) and n <= broadcast_threshold
     if small:
         state = verts.withColumn("component", F.col("id"))
     else:

@@ -82,7 +82,9 @@ def label_propagation(
         .distinct()
     )
     n = verts.count()
-    small = n <= broadcast_threshold
+    # a pre-partitioned (K1 bucketed) input selects the co-partitioned
+    # plan regardless of size — see pagerank.py's rationale
+    small = (not pre_partitioned) and n <= broadcast_threshold
     if salt_hubs is None:
         # two-term probe: absolute degree AND reducer row share (see
         # pagerank.py — salting below genuine pin-a-reducer scale is

@@ -18,7 +18,12 @@ Scale design — ONE exchange per superstep on the big path:
   is also exchange-free.
 * below ``broadcast_threshold`` vertices the state is broadcast
   instead (small graphs / harness runs) — note a broadcast build is
-  driver-serial, so the threshold is deliberately modest.
+  driver-serial, so the threshold is deliberately modest. A
+  pre-partitioned input (the K1 bucketed layout) selects the
+  co-partitioned plan regardless of size: the per-superstep broadcast
+  rebuild costs more than the exchange-free shuffle-hash join from
+  ~10^4 vertices up (measured), and it is the plan the layout exists
+  for.
 * hub skew on the dst-side aggregation is absorbed by map-side
   partial aggregation (sum is associative) + AQE; an explicit salted
   two-level aggregation is available for extreme in-degree skew
@@ -120,7 +125,7 @@ def pagerank(
     # barrier preserves it across supersteps
     state = dangling_flag.withColumn("score", F.lit(1.0 / n)).repartition(n_part, "id")
 
-    small = n <= broadcast_threshold
+    small = (not pre_partitioned) and n <= broadcast_threshold
     # dangling mass is carried across supersteps by `converge`; None
     # means "recompute from current state" — covers both the first
     # superstep and a mid-run resume from a durable checkpoint.
