@@ -516,6 +516,7 @@ def louvain(
     hub_degree_threshold: int = 1_000_000,
     pre_partitioned: bool = False,
     local_threshold: int = 50_000,
+    local_edge_cap: int = 5_000_000,
 ) -> LouvainResult:
     """Run multi-level Louvain on a symmetric weighted edge table
     (both directions present, self-loops once — graph.build.build_graph
@@ -552,6 +553,13 @@ def louvain(
     (gpulouvain.cu), so this is the faithful hybrid. 0 disables
     (pure distributed — the plan-audit configuration). Level 0 always
     runs distributed (warm starts and frontiers live there).
+    local_edge_cap: second fast-path guard — the quotient must also
+    have at most this many edge ROWS before it is collected (a 50k-
+    supernode quotient of a 100-TB graph can still carry hundreds of
+    millions of inter-community edges; vertex count alone does not
+    bound the collect). The row count is one cheap job over the
+    already-materialized quotient; over the cap the level runs
+    distributed and the guard re-checks after the next contraction.
     """
     # pre_partitioned inputs are already materialized by the caller
     # (a persisted bucketed-table read, or the incremental loop's
@@ -689,7 +697,14 @@ def louvain(
     n_nodes = n
     next_self: float | None = self_total0
     for level in range(max_levels):
-        if level > 0 and local_threshold > 0 and n_nodes <= local_threshold:
+        if (
+            level > 0
+            and local_threshold > 0
+            and n_nodes <= local_threshold
+            # edge-row guard: the quotient is a materialized barrier,
+            # so this count is one cheap job; see local_edge_cap doc
+            and cur_edges.count() <= local_edge_cap
+        ):
             # small-quotient fast path: post-contraction levels start
             # from singletons with no frontier, so the collected
             # quotient (dense ids 0..n_nodes-1 by the contraction

@@ -171,4 +171,10 @@ def test_local_fastpath_identical_to_distributed(spark):
     want, q_want, lv_want = louvain_oracle(rows)
     assert a == want and abs(fast.modularity - q_want) < 1e-12
     assert fast.levels == lv_want
+    # edge-row guard: a cap below any quotient's row count keeps every
+    # level distributed (same result), without touching local_threshold
+    capped = louvain(spark, edges, local_edge_cap=0)
+    assert {r["id"]: r["community"] for r in capped.assignment.collect()} == a
+    assert capped.modularity == fast.modularity
+    assert capped.levels == fast.levels
     assert F is not None
