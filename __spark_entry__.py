@@ -414,6 +414,23 @@ def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(emb, queries, k=5, n_planes=6)
 
 
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (the task brief's IVF scale path) with an EXACT
+    oracle: the coarse centroids are a deterministic data-derived
+    sample (smallest Knuth-hash ids — plain integer arithmetic), the
+    squared-L2 assignment is a left-fold sum (bit-identical to a
+    left-associated SQL addition chain; ties to the lower cid), and
+    the rerank is the same rounded exact cosine as knn_lsh — so the
+    inverted lists, probe sets and top-k reproduce bit-for-bit in
+    DuckDB with NO inlined constants: the oracle recomputes the
+    quantizer from the table itself."""
+    from linkgraph.functions.similarity import knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return knn_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (brute-force baseline —
     the exactness anchor for the LSH-bucketed scale path, certified by
@@ -521,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window_agg": _q_events_window_agg,
         "check_symmetry": _q_check_symmetry,
@@ -1165,6 +1183,58 @@ def _knn_lsh_sql(
     FROM ranked WHERE rank <= {k}"""
 
 
+def _knn_ivf_sql(
+    n_centroids: int = 16, n_probe: int = 4, k: int = 5, dim: int = 64
+) -> str:
+    """functions.similarity.knn_ivf: the quantizer is recomputed FROM
+    THE TABLE (smallest Knuth-hash ids, cid = rank by (hash, id)) —
+    no inlined constants. Squared-L2 per (vector, centroid) is a
+    left-associated addition chain, the identical IEEE order to
+    Spark's ``F.aggregate`` left fold (the 0.0 seed absorbs exactly),
+    so assignments and probe sets agree bit-for-bit; the rerank
+    mirrors knn_lsh's rounded exact cosine."""
+    chain = " + ".join(
+        f"(v.e[{j}] - c.ce[{j}]) * (v.e[{j}] - c.ce[{j}])" for j in range(1, dim + 1)
+    )
+    return f"""WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (
+               ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) AS INT) AS cid,
+             e AS ce
+      FROM v
+      QUALIFY row_number() OVER (
+        ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) <= {n_centroids}
+    ), dists AS MATERIALIZED (
+      SELECT v.vec_id, v.e, c.cid, ({chain}) AS d
+      FROM v CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, e AS qe, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists WHERE vec_id % 50 = 0
+      ) WHERE rn <= {n_probe}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qe, a.e), 6) AS sim
+      FROM assigned a JOIN probes p USING (cid)
+      WHERE a.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": f"WITH {EDGES_CTE} SELECT src, dst, weight FROM edges",
@@ -1247,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(8),
         "pack_documents": _pack_documents_sql(),
         "knn_cosine": _knn_cosine_sql(),
+        "knn_ivf": _knn_ivf_sql(),
         "embedding_near_dup": """WITH v AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
             )

@@ -120,3 +120,60 @@ def test_knn_lsh_multiprobe_recall_dominates_single_probe(spark):
         len(multi & truth), len(single & truth))
     # candidates are genuine (sim values come from the same exact rerank)
     assert multi <= pairs(knn_bruteforce(vecs, queries, k=40))
+
+
+def test_knn_ivf_full_probe_equals_bruteforce(spark, vectors):
+    """n_probe == n_centroids degrades IVF to exact brute force: every
+    vector is a candidate for every query, so the reranked top-k is
+    identical (ids, sims and ranks)."""
+    from linkgraph.functions.similarity import knn_ivf
+
+    queries = vectors.filter(F.col("vec_id") < 5)
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+            for r in knn_bruteforce(vectors, queries, k=3).collect()}
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+           for r in knn_ivf(vectors, queries, k=3, n_centroids=8,
+                            n_probe=8).collect()}
+    assert got == want
+
+
+def test_knn_ivf_recall_and_candidate_soundness(spark):
+    """On a clustered fixture, IVF with a quarter-probe recovers the
+    planted nearest neighbor (same tight cluster -> same inverted
+    list), and every returned pair exists in the brute-force ranking
+    (the rerank is the same exact cosine)."""
+    import numpy as np
+    from linkgraph.functions.similarity import knn_ivf
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((48, 16))
+    rows = [
+        (i, (3.0 * base[i // 6 * 6] + 0.1 * rng.standard_normal(16)).tolist())
+        for i in range(48)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F.col("vec_id") % 6 == 0)
+
+    got = knn_ivf(vecs, queries, k=3, n_centroids=8, n_probe=2)
+    rows_got = got.collect()
+    # soundness: subset of the full exact ranking, same sims
+    truth = {(r.query_id, r.neighbor_id): r.sim
+             for r in knn_bruteforce(vecs, queries, k=47).collect()}
+    for r in rows_got:
+        assert (r.query_id, r.neighbor_id) in truth
+        assert abs(truth[(r.query_id, r.neighbor_id)] - r.sim) < 2e-6
+    # recall: each query's rank-1 neighbor comes from its own tight
+    # cluster (cosine within cluster ~1, across clusters ~random)
+    for r in rows_got:
+        if r.rank == 1:
+            assert r.neighbor_id // 6 == r.query_id // 6
+
+
+def test_ivf_centroids_deterministic_and_sized(spark, vectors):
+    from linkgraph.functions.similarity import ivf_centroids
+
+    a = ivf_centroids(vectors, n_centroids=8)
+    b = ivf_centroids(vectors.repartition(7), n_centroids=8)
+    assert a == b  # partitioning-independent selection
+    assert [cid for cid, _ in a] == list(range(1, 9))
+    assert all(len(v) == 16 for _, v in a)
