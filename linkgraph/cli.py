@@ -10,7 +10,7 @@ Local smoke:
     python linkgraph/cli.py pagerank --edges /tmp/edges --output /tmp/pr
 
 Commands: ingest-pages, build-adjacency, pagerank, cc, lpa, louvain,
-triangles, incremental, clean-corpus. Every command reads/writes
+triangles, incremental, ann, clean-corpus. Every command reads/writes
 parquet;
 ``--checkpoint-dir`` enables mid-run resumability (durable superstep /
 per-phase checkpoints). Graph commands accept EITHER ``--edges`` (a
@@ -94,6 +94,24 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "ann",
+        help="top-k similarity search over an embedding parquet "
+        "(exact | lsh | ivf)",
+    )
+    sp.add_argument("--vectors", required=True, help="parquet (vec_id, embedding)")
+    sp.add_argument(
+        "--queries",
+        help="parquet of query vectors (same schema); default: --vectors itself",
+    )
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--method", choices=["exact", "lsh", "ivf"], default="exact")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--n-planes", type=int, default=8, help="lsh hyperplanes")
+    sp.add_argument("--n-centroids", type=int, default=256, help="ivf lists")
+    sp.add_argument("--n-probe", type=int, default=16, help="ivf probes/query")
+    sp.add_argument("--shuffle-partitions", type=int, default=None)
+
+    sp = sub.add_parser(
         "clean-corpus",
         help="documents parquet -> cleaned survivors (quality filter, "
         "language filter, exact dedup, verified near-dup removal)",
@@ -119,6 +137,40 @@ def main(argv: list[str] | None = None) -> int:
         directed.write.mode("overwrite").parquet(f"{args.output}/edges_directed")
         undirected.write.mode("overwrite").parquet(f"{args.output}/edges")
         dictionary.write.mode("overwrite").parquet(f"{args.output}/url_dict")
+        return 0
+
+    if args.cmd == "ann":
+        from linkgraph.functions.similarity import (
+            knn_bruteforce,
+            knn_ivf,
+            knn_lsh,
+        )
+
+        vectors = spark.read.parquet(args.vectors)
+        queries = (
+            spark.read.parquet(args.queries) if args.queries else vectors
+        )
+        if args.method == "exact":
+            out = knn_bruteforce(vectors, queries, k=args.k)
+        elif args.method == "lsh":
+            out = knn_lsh(vectors, queries, k=args.k, n_planes=args.n_planes)
+        else:
+            out = knn_ivf(
+                vectors,
+                queries,
+                k=args.k,
+                n_centroids=args.n_centroids,
+                n_probe=args.n_probe,
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        print(
+            json.dumps(
+                {
+                    "method": args.method,
+                    "pairs": spark.read.parquet(args.output).count(),
+                }
+            )
+        )
         return 0
 
     if args.cmd == "clean-corpus":

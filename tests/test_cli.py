@@ -143,3 +143,39 @@ def test_cli_clean_corpus(spark, tmp_path, capsys):
     assert meta == {"n_docs": 4, "n_survivors": 1}
     got = spark.read.parquet(out_path).collect()
     assert [r.doc_id for r in got] == [0] and got[0].pred_lang == "en"
+
+
+def test_cli_ann(spark, tmp_path, capsys):
+    """ann verb: ivf top-k over an embedding parquet; results are a
+    subset of the exact method's ranking at full probe."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vec_path = str(tmp_path / "vecs")
+    vecs.write.parquet(vec_path)
+
+    rc = main(
+        [
+            "ann", "--vectors", vec_path, "--output", str(tmp_path / "knn"),
+            "--method", "ivf", "--k", "3",
+            "--n-centroids", "4", "--n-probe", "4",
+        ]
+    )
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["method"] == "ivf" and meta["pairs"] == 30 * 3
+
+    rc = main(
+        [
+            "ann", "--vectors", vec_path, "--output", str(tmp_path / "knn_exact"),
+            "--method", "exact", "--k", "3",
+        ]
+    )
+    assert rc == 0
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in spark.read.parquet(str(tmp_path / "knn")).collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in spark.read.parquet(str(tmp_path / "knn_exact")).collect()}
+    assert got == want  # full probe == exact
