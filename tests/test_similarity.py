@@ -177,3 +177,40 @@ def test_ivf_centroids_deterministic_and_sized(spark, vectors):
     assert a == b  # partitioning-independent selection
     assert [cid for cid, _ in a] == list(range(1, 9))
     assert all(len(v) == 16 for _, v in a)
+
+
+def test_knn_ivf_join_path_identical_to_inlined(spark, vectors):
+    """The large-quantizer broadcast-join assignment must produce the
+    byte-identical result to the inlined-projection path: same fold
+    distances, same (d, cid) tie-break, same probes."""
+    from linkgraph.functions.similarity import knn_ivf
+
+    queries = vectors.filter(F.col("vec_id") % 7 == 0)
+    inline = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+              for r in knn_ivf(vectors, queries, k=3, n_centroids=8,
+                               n_probe=3, inline_threshold=64).collect()}
+    joined = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+              for r in knn_ivf(vectors, queries, k=3, n_centroids=8,
+                               n_probe=3, inline_threshold=0).collect()}
+    assert joined == inline
+
+
+def test_knn_ivf_numpy_path_matches_fold_join_path(spark, vectors):
+    """The Arrow/numpy large-quantizer path (default at scale) agrees
+    with the pure-fold join path on this fixture: same neighbors, same
+    ranks, sims equal to the rounding tolerance."""
+    from linkgraph.functions.similarity import knn_ivf
+
+    queries = vectors.filter(F.col("vec_id") % 7 == 0)
+    fold = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+            for r in knn_ivf(vectors, queries, k=3, n_centroids=8,
+                             n_probe=3, inline_threshold=0,
+                             large_path="join").collect()}
+    npy = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+           for r in knn_ivf(vectors, queries, k=3, n_centroids=8,
+                            n_probe=3, inline_threshold=0,
+                            large_path="numpy").collect()}
+    assert set(fold) == set(npy)
+    for key, (nid, sim) in fold.items():
+        assert npy[key][0] == nid
+        assert abs(npy[key][1] - sim) < 2e-6
