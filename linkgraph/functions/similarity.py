@@ -201,6 +201,23 @@ def _sqdist(vec: Column, ce: list[float]) -> Column:
     )
 
 
+def _np_cosine_udf():
+    """Arrow-batched exact cosine (one numpy pass per batch), rounded
+    to 6 like the fold expression. The scale path for per-pair sims:
+    Spark's interpreted higher-order functions pay per-pair lambda
+    overhead that a batch matmul doesn't (~10x measured)."""
+
+    @F.pandas_udf("double")
+    def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        A, B = np.stack(a.to_numpy()), np.stack(b.to_numpy())
+        s = (A * B).sum(axis=1) / (
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        )
+        return pd.Series(np.round(s, 6))
+
+    return cos_udf
+
+
 def knn_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -362,15 +379,7 @@ def knn_ivf(
             )
         )
     if len(centroids) > inline_threshold and large_path == "numpy":
-        @F.pandas_udf("double")
-        def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-            A, B = np.stack(a.to_numpy()), np.stack(b.to_numpy())
-            s = (A * B).sum(axis=1) / (
-                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-            )
-            return pd.Series(np.round(s, 6))
-
-        sim = cos_udf(F.col("qv"), F.col("nv"))
+        sim = _np_cosine_udf()(F.col("qv"), F.col("nv"))
     else:
         sim = F.round(cosine(F.col("qv"), F.col("nv")), 6)
     scored = (
@@ -394,10 +403,17 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    sim_impl: str = "numpy",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >=
     threshold), LSH-bucketed to avoid the full quadratic join.
-    Returns (a, b, sim)."""
+
+    sim_impl: "numpy" (default — Arrow-batched batch cosine, the scale
+    path for the per-candidate-pair rerank) or "fold" (pure JVM fold
+    expressions — the configuration the cross-check tests pin against
+    the exact all-pairs baseline). Both round to 6 decimals; they can
+    disagree only when a raw cosine sits within float-noise of a
+    rounding boundary. Returns (a, b, sim)."""
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
@@ -406,10 +422,15 @@ def embedding_near_dup_pairs(
     ).withColumn("bucket", lsh_bucket_expr(F.col("v"), planes))
     a = v.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
     b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    sim = (
+        _np_cosine_udf()(F.col("va"), F.col("vb"))
+        if sim_impl == "numpy"
+        else F.round(cosine(F.col("va"), F.col("vb")), 6)
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
+        .select("a", "b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
