@@ -10,7 +10,8 @@ Local smoke:
     python linkgraph/cli.py pagerank --edges /tmp/edges --output /tmp/pr
 
 Commands: ingest-pages, build-adjacency, pagerank, cc, lpa, louvain,
-triangles, incremental, ann, clean-corpus. Every command reads/writes
+triangles, incremental, ann, ann-index, clean-corpus. Every command
+reads/writes
 parquet;
 ``--checkpoint-dir`` enables mid-run resumability (durable superstep /
 per-phase checkpoints). Graph commands accept EITHER ``--edges`` (a
@@ -109,6 +110,22 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--n-planes", type=int, default=8, help="lsh hyperplanes")
     sp.add_argument("--n-centroids", type=int, default=256, help="ivf lists")
     sp.add_argument("--n-probe", type=int, default=16, help="ivf probes/query")
+    sp.add_argument(
+        "--index",
+        help="ivf only: a cid-partitioned table written by ann-index; "
+        "queries then read ONLY their probed list partitions "
+        "(--vectors/--n-centroids are ignored)",
+    )
+    sp.add_argument("--shuffle-partitions", type=int, default=None)
+
+    sp = sub.add_parser(
+        "ann-index",
+        help="materialize the IVF inverted lists as a cid-partitioned "
+        "parquet table (+ quantizer sidecar) for ann --index",
+    )
+    sp.add_argument("--vectors", required=True, help="parquet (vec_id, embedding)")
+    sp.add_argument("--output", required=True)
+    sp.add_argument("--n-centroids", type=int, default=256)
     sp.add_argument("--shuffle-partitions", type=int, default=None)
 
     sp = sub.add_parser(
@@ -139,10 +156,21 @@ def main(argv: list[str] | None = None) -> int:
         dictionary.write.mode("overwrite").parquet(f"{args.output}/url_dict")
         return 0
 
+    if args.cmd == "ann-index":
+        from linkgraph.functions.similarity import build_ivf_index
+
+        vectors = spark.read.parquet(args.vectors)
+        cents = build_ivf_index(
+            vectors, args.output, n_centroids=args.n_centroids
+        )
+        print(json.dumps({"lists": len(cents), "index": args.output}))
+        return 0
+
     if args.cmd == "ann":
         from linkgraph.functions.similarity import (
             knn_bruteforce,
             knn_ivf,
+            knn_ivf_indexed,
             knn_lsh,
         )
 
@@ -154,6 +182,10 @@ def main(argv: list[str] | None = None) -> int:
             out = knn_bruteforce(vectors, queries, k=args.k)
         elif args.method == "lsh":
             out = knn_lsh(vectors, queries, k=args.k, n_planes=args.n_planes)
+        elif args.index:
+            out = knn_ivf_indexed(
+                spark, args.index, queries, k=args.k, n_probe=args.n_probe
+            )
         else:
             out = knn_ivf(
                 vectors,

@@ -179,3 +179,45 @@ def test_cli_ann(spark, tmp_path, capsys):
     want = {(r.query_id, r.rank): r.neighbor_id
             for r in spark.read.parquet(str(tmp_path / "knn_exact")).collect()}
     assert got == want  # full probe == exact
+
+
+def test_cli_ann_index_roundtrip(spark, tmp_path, capsys):
+    """ann-index builds the cid-partitioned table; ann --index queries
+    it and matches the ad-hoc ivf verb fed the same quantizer size at
+    full probe (both reduce to exact ranking)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vec_path = str(tmp_path / "vecs")
+    vecs.write.parquet(vec_path)
+
+    idx_path = str(tmp_path / "ivf")
+    rc = main(
+        ["ann-index", "--vectors", vec_path, "--output", idx_path,
+         "--n-centroids", "4"]
+    )
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta == {"lists": 4, "index": idx_path}
+
+    rc = main(
+        ["ann", "--vectors", vec_path, "--queries", vec_path,
+         "--output", str(tmp_path / "knn_idx"), "--method", "ivf",
+         "--index", idx_path, "--k", "3", "--n-probe", "4"]
+    )
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["pairs"] == 30 * 3
+
+    rc = main(
+        ["ann", "--vectors", vec_path, "--output", str(tmp_path / "knn_exact"),
+         "--method", "exact", "--k", "3"]
+    )
+    assert rc == 0
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in spark.read.parquet(str(tmp_path / "knn_idx")).collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in spark.read.parquet(str(tmp_path / "knn_exact")).collect()}
+    assert got == want  # full probe == exact

