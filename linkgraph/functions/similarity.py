@@ -201,27 +201,40 @@ def _sqdist(vec: Column, ce: list[float]) -> Column:
     )
 
 
-def _np_quantizer_udfs(centroids, n_probe_eff: int):
-    """Arrow-batched quantizer kernels: assignment (one ``V @ C.T``
-    matmul per batch; first-occurrence argmin over cid-ascending
-    centroids = lowest-cid tie-break, matching the fold paths) and the
-    per-query probe list (stable argsort, first n_probe)."""
+def _quantizer_kernels(centroids, n_probe_eff: int):
+    """Plain-numpy quantizer kernels shared by the distributed UDF
+    wrappers and the driver-side query-batch path (bit-identical
+    semantics wherever they run): assignment (one ``V @ C.T`` matmul;
+    first-occurrence argmin over cid-ascending centroids = lowest-cid
+    tie-break, matching the fold paths) and the per-query probe list
+    (stable argsort, first n_probe)."""
     C = np.array([ce for _, ce in centroids], dtype=np.float64)  # K x D
     cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
     c2 = (C * C).sum(axis=1)
 
+    def assign_np(V: np.ndarray) -> np.ndarray:
+        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+        return cids[np.argmin(d, axis=1)].astype(np.int32)
+
+    def probes_np(V: np.ndarray) -> np.ndarray:
+        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe_eff]
+        return cids[order].astype(np.int32)
+
+    return assign_np, probes_np
+
+
+def _np_quantizer_udfs(centroids, n_probe_eff: int):
+    """Arrow-batched pandas-UDF wrappers over ``_quantizer_kernels``."""
+    assign_np, probes_np = _quantizer_kernels(centroids, n_probe_eff)
+
     @F.pandas_udf("int")
     def assign_udf(col: pd.Series) -> pd.Series:
-        V = np.stack(col.to_numpy())
-        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
-        return pd.Series(cids[np.argmin(d, axis=1)].astype(np.int32))
+        return pd.Series(assign_np(np.stack(col.to_numpy())))
 
     @F.pandas_udf("array<int>")
     def probes_udf(col: pd.Series) -> pd.Series:
-        V = np.stack(col.to_numpy())
-        d = (V * V).sum(axis=1)[:, None] - 2.0 * (V @ C.T) + c2[None, :]
-        order = np.argsort(d, axis=1, kind="stable")[:, :n_probe_eff]
-        return pd.Series(list(cids[order].astype(np.int32)))
+        return pd.Series(list(probes_np(np.stack(col.to_numpy()))))
 
     return assign_udf, probes_udf
 
@@ -254,10 +267,6 @@ def _cogroup_rerank(v: DataFrame, q: DataFrame, k: int) -> DataFrame:
     (query_id, neighbor_id, sim) partial-top-k rows."""
     import pyarrow as pa
 
-    def _mat(tab: "pa.Table", col: str) -> np.ndarray:
-        arr = tab.column(col).combine_chunks()
-        return np.asarray(arr.flatten()).reshape(len(arr), -1)
-
     _empty = pa.table(
         {
             "query_id": pa.array([], pa.int64()),
@@ -269,8 +278,8 @@ def _cogroup_rerank(v: DataFrame, q: DataFrame, k: int) -> DataFrame:
     def rerank(vtab: "pa.Table", qtab: "pa.Table") -> "pa.Table":
         if vtab.num_rows == 0 or qtab.num_rows == 0:
             return _empty
-        V = _mat(vtab, "nv")
-        Q = _mat(qtab, "qv")
+        V = _arrow_mat(vtab, "nv")
+        Q = _arrow_mat(qtab, "qv")
         nids = np.asarray(vtab.column("neighbor_id").combine_chunks())
         qids = np.asarray(qtab.column("query_id").combine_chunks())
         S = np.round(
@@ -278,27 +287,9 @@ def _cogroup_rerank(v: DataFrame, q: DataFrame, k: int) -> DataFrame:
             @ (V / np.linalg.norm(V, axis=1)[:, None]).T,
             6,
         )
-        n = S.shape[1]
-        kk = min(k + 1, n)  # +1 absorbs the query's own row if present
-        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(qids)):
-            row = S[qi]
-            vk = row[part[qi]].min()  # (k+1)-th largest sim incl. self
-            cand = np.flatnonzero(row >= vk)
-            ids = nids[cand]
-            keep = ids != qids[qi]
-            cand, ids = cand[keep], ids[keep]
-            order = np.lexsort((ids, -row[cand]))[:k]
-            out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
-            out_n.append(ids[order])
-            out_s.append(row[cand[order]])
+        out_q, out_n, out_s = _topk_exact(S, nids, qids, k)
         return pa.table(
-            {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "sim": np.concatenate(out_s),
-            }
+            {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
         )
 
     return (
@@ -308,6 +299,44 @@ def _cogroup_rerank(v: DataFrame, q: DataFrame, k: int) -> DataFrame:
             rerank,
             schema="query_id long, neighbor_id long, sim double",
         )
+    )
+
+
+def _arrow_mat(tab, col: str) -> np.ndarray:
+    """Zero-copy 2D matrix from a fixed-width list column of an Arrow
+    table (flatten-reshape; no per-row stacking)."""
+    arr = tab.column(col).combine_chunks()
+    return np.asarray(arr.flatten()).reshape(len(arr), -1)
+
+
+def _topk_exact(
+    S: np.ndarray, nids: np.ndarray, qids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact per-row top-k of a sim matrix under (sim desc, id asc),
+    excluding each query's own id: one vectorized argpartition plus a
+    boundary tie fix — every column with sim >= the (k+1)-th largest
+    is a candidate, so an equal-sim/lower-id column can't be lost to
+    argpartition's arbitrary ordering among ties. Returns concatenated
+    (query_id, neighbor_id, sim) arrays."""
+    n = S.shape[1]
+    kk = min(k + 1, n)  # +1 absorbs the query's own row if present
+    part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+    out_q, out_n, out_s = [], [], []
+    for qi in range(len(qids)):
+        row = S[qi]
+        vk = row[part[qi]].min()  # (k+1)-th largest sim incl. self
+        cand = np.flatnonzero(row >= vk)
+        ids = nids[cand]
+        keep = ids != qids[qi]
+        cand, ids = cand[keep], ids[keep]
+        order = np.lexsort((ids, -row[cand]))[:k]
+        out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+        out_n.append(ids[order])
+        out_s.append(row[cand[order]])
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_n),
+        np.concatenate(out_s),
     )
 
 
@@ -539,37 +568,79 @@ def knn_ivf_indexed(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-flat top-k over a ``build_ivf_index`` table: quantize the
-    query batch, collect the DISTINCT probed list ids (bounded by
-    n_centroids — a driver-side scalar set, not data), and read ONLY
-    those partitions (``cid IN (...)`` lands in the scan's
-    PartitionFilters — plan-audited in tests), then the cogrouped
-    per-list matmul rerank. Query cost scales with n_probe/n_centroids
-    of the CORPUS READ, not just compute — the part an unindexed
-    ad-hoc call fundamentally cannot skip. Results are identical to
-    ``knn_ivf`` with the same quantizer (asserted in tests)."""
+    """IVF-flat top-k over a ``build_ivf_index`` table — the serving
+    shape: the query BATCH is small by contract, so it is collected
+    (~queries x dim doubles), quantized driver-side with the same
+    numpy kernels as the distributed path (bit-identical probes), and
+    shipped to executors inside the mapInArrow closure. The CORPUS
+    never shuffles: the scan reads ONLY probed list partitions
+    (``cid IN (...)`` lands in the scan's PartitionFilters —
+    plan-audited in tests) and each Arrow batch scores against the
+    queries probing its lists in one BLAS matmul, emitting
+    per-(query, batch) partial top-k rows; the final window ranks
+    ~queries x probes x k rows, not candidates. Query cost is
+    n_probe/n_centroids of the corpus READ plus pure compute — the
+    parts an unindexed ad-hoc call (which must re-quantize and
+    shuffle the corpus into its rerank) fundamentally cannot skip.
+    Results are identical to ``knn_ivf`` with the same quantizer
+    (asserted in tests: chunked matmuls produce the same per-pair
+    sims, and the global top-k of per-chunk partial top-ks under the
+    shared (sim desc, id asc) order is exact)."""
     import json
     import os
+
+    import pyarrow as pa
 
     with open(os.path.join(index_path, "_ivf_centroids.json")) as f:
         centroids = [(int(cid), ce) for cid, ce in json.load(f)]
     n_probe_eff = min(n_probe, len(centroids))
-    _, probes_udf = _np_quantizer_udfs(centroids, n_probe_eff)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
+    _, probes_np = _quantizer_kernels(centroids, n_probe_eff)
+    qrows = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).select("query_id", "qv", F.explode(probes_udf(F.col("qv"))).alias("cid"))
-    q = q.persist()
-    probed = sorted(r["cid"] for r in q.select("cid").distinct().collect())
+    ).collect()
+    out_schema = "query_id long, neighbor_id long, sim double, rank int"
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    qids = np.array([r["query_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    probes = probes_np(Q)  # m x n_probe
+    Qn = Q / np.linalg.norm(Q, axis=1)[:, None]
+    by_cid = {
+        int(c): np.flatnonzero((probes == c).any(axis=1))
+        for c in np.unique(probes)
+    }
+    probed = sorted(by_cid)
+
+    def kernel(batches):
+        for b in batches:
+            tab = pa.Table.from_batches([b])
+            V = _arrow_mat(tab, "nv")
+            nids = np.asarray(tab.column("neighbor_id").combine_chunks())
+            cidv = np.asarray(tab.column("cid").combine_chunks())
+            Vn = V / np.linalg.norm(V, axis=1)[:, None]
+            for c in np.unique(cidv):
+                qidx = by_cid.get(int(c))
+                if qidx is None:
+                    continue
+                rows = np.flatnonzero(cidv == c)
+                S = np.round(Qn[qidx] @ Vn[rows].T, 6)
+                oq, on, osim = _topk_exact(S, nids[rows], qids[qidx], k)
+                if len(oq):
+                    yield pa.record_batch(
+                        {"query_id": oq, "neighbor_id": on, "sim": osim}
+                    )
+
     v = spark.read.parquet(index_path).filter(F.col("cid").isin(probed))
-    scored = _cogroup_rerank(v, q, k)
+    scored = v.mapInArrow(
+        kernel, schema="query_id long, neighbor_id long, sim double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    out = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
-    return out
 
 
 def embedding_near_dup_pairs(

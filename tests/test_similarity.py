@@ -251,3 +251,10 @@ def test_ivf_index_roundtrip_matches_adhoc_and_prunes(spark, vectors, tmp_path):
     assert "cid" in inlist
     # one query, n_probe=2 -> at most 2 list ids survive the pruning
     assert inlist.count(",") <= 1, inlist
+    # the corpus never shuffles: below the rerank kernel (plans print
+    # top-down; keep only AQE's final plan, not the echoed initial
+    # plan) there is only the pruned scan — no Exchange
+    final_plan = plan.split("== Initial Plan ==", 1)[0]
+    below_kernel = final_plan.split("MapInArrow", 1)
+    assert len(below_kernel) == 2, final_plan
+    assert "Exchange" not in below_kernel[1], final_plan

@@ -18,8 +18,9 @@ Three timed phases per level, the production IVF shape
   build the same way).
 * BUILD — assign + shuffle by list id + cid-partitioned parquet
   write. Adds a fixed single-disk I/O floor locally; absolutes only.
-* QUERY — a query batch against the index: quantize the batch, read
-  the probed list partitions, cogrouped per-list matmul rerank.
+* QUERY — a query batch against the index: quantize driver-side,
+  read only the probed list partitions, shuffle-free mapInArrow
+  matmul rerank (queries ship in the closure).
 
 Usage:
   python tools/ann_scale_bench.py [n_vectors]          # orchestrate
@@ -190,8 +191,10 @@ matmul quantization of the full corpus into a noop sink (the
 CPU-bound scalable kernel, isolated); BUILD = assign + shuffle-by-list
 + cid-partitioned parquet write; QUERY = a
 {results[32]["n_queries"]}-query batch (k={K}, {N_PROBE} probes) —
-quantize, read probed list partitions, cogrouped per-list matmul
-rerank. Two in-JVM runs per phase per level, min taken:
+quantize driver-side, read ONLY probed list partitions (zero corpus
+shuffle: queries ship in the mapInArrow closure, each Arrow batch
+reranks in one BLAS matmul, partial top-k rows leave the worker).
+Two in-JVM runs per phase per level, min taken:
 
 | cores | assign (s) | assign vec/s | build (s) | query batch (s) |
 |---|---|---|---|---|
@@ -206,12 +209,12 @@ PageRank probe documents). BUILD adds ~2 GB of shuffle + parquet
 writes to this box's single ~310 MB/s virtio disk (measured with dd
 oflag=direct) — a fixed I/O floor no core count removes locally and
 exactly what a cluster's per-node disks parallelize; reported as
-absolutes, not scaling evidence. The query batch is likewise
-fixed-overhead-bound at this corpus/batch size ({N_PROBE}/{N_CENTROIDS}
-of ~1 GB read + a ~{results[32]["n_queries"]}-row broadcast).
-{results[32]["result_rows"]:,} result rows, identical at every level
-(deterministic operator — the scaling runs double as an equality
-check: {summary["rows_identical_across_levels"]}).
+absolutes, not scaling evidence. QUERY (shuffle-free) also scales
+monotonically: 2 -> 8 {round(q2 / q8, 2)}x, 8 -> 32
+{round(q8 / q32, 2)}x. {results[32]["result_rows"]:,} result rows,
+identical at every level (deterministic operator — the scaling runs
+double as an equality check:
+{summary["rows_identical_across_levels"]}).
 """
     with open(path, "w") as f:
         f.write(old.rstrip() + "\n\n" + section)
