@@ -56,7 +56,7 @@ def get_spark(
         # between jobs restores 1.1s). Spark's ContextCleaner owns the
         # periodic-GC knob — default 30min, far too lazy for
         # Arrow-heavy sessions.
-        .config("spark.cleaner.periodicGC.interval", "15s")
+        .config("spark.cleaner.periodicGC.interval", "60s")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
