@@ -126,6 +126,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--vectors", required=True, help="parquet (vec_id, embedding)")
     sp.add_argument("--output", required=True)
     sp.add_argument("--n-centroids", type=int, default=256)
+    sp.add_argument(
+        "--kmeans-iters",
+        type=int,
+        default=0,
+        help="train the quantizer with N deterministic Lloyd's "
+        "iterations (0 = hash-sampled seeds only)",
+    )
     sp.add_argument("--shuffle-partitions", type=int, default=None)
 
     sp = sub.add_parser(
@@ -157,11 +164,22 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "ann-index":
-        from linkgraph.functions.similarity import build_ivf_index
+        from linkgraph.functions.similarity import (
+            build_ivf_index,
+            ivf_train_kmeans,
+        )
 
         vectors = spark.read.parquet(args.vectors)
+        trained = (
+            ivf_train_kmeans(
+                vectors, args.n_centroids, n_iters=args.kmeans_iters
+            )
+            if args.kmeans_iters > 0
+            else None
+        )
         cents = build_ivf_index(
-            vectors, args.output, n_centroids=args.n_centroids
+            vectors, args.output, n_centroids=args.n_centroids,
+            centroids=trained,
         )
         print(json.dumps({"lists": len(cents), "index": args.output}))
         return 0

@@ -186,6 +186,67 @@ def ivf_centroids(
     return [(i + 1, list(r["v"])) for i, r in enumerate(rows)]
 
 
+def ivf_train_kmeans(
+    vectors: DataFrame,
+    n_centroids: int = 128,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic distributed Lloyd's k-means for the IVF coarse
+    quantizer: init from ``ivf_centroids`` (uniform hash-sampled
+    seeds), then per iteration one Arrow-batched matmul assignment +
+    one narrow groupBy. Returns the same (cid, centroid) list shape
+    every ``knn_ivf``/``build_ivf_index`` call accepts.
+
+    Scale + determinism shape: the mean recomputation poses the
+    repo-wide float problem — ``sum(double)`` commits to whatever
+    partial-aggregation order the partitioning produces, so the
+    trained quantizer would differ run to run. Summing as
+    ``decimal(38,18)`` instead is EXACT and order-independent
+    (integer arithmetic under the hood), so the result is
+    bit-identical at any parallelism (tested under repartition), at
+    the cost of one widened shuffle column. The per-dimension sums
+    flow through ``posexplode`` + a partial-aggregating groupBy on
+    (cid, pos) — K x dim tiny rows shuffle, never vectors (the
+    minhash/simhash narrow-groupBy lesson; a 64-wide aggregate list
+    would codegen quadratically). Empty clusters keep their previous
+    centroid. Final division happens driver-side in decimal, one
+    float conversion at the end."""
+    cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    dim = len(cents[0][1])
+    v = vectors.select(F.col(vec_col).cast("array<double>").alias("nv"))
+    for _ in range(n_iters):
+        assign_udf, _ = _np_quantizer_udfs(cents, 1)
+        stats = (
+            v.withColumn("cid", assign_udf(F.col("nv")))
+            .select("cid", F.posexplode("nv").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, list] = {}
+        for r in stats:
+            by_cid.setdefault(int(r["cid"]), [None] * dim)[r["pos"]] = (
+                r["s"],
+                r["n"],
+            )
+        new_cents = []
+        for cid, old in cents:
+            got = by_cid.get(cid)
+            if got is None:  # empty cluster: keep the previous centroid
+                new_cents.append((cid, old))
+            else:
+                new_cents.append(
+                    (cid, [float(s / n) for s, n in got])
+                )
+        cents = new_cents
+    return cents
+
+
 def _sqdist(vec: Column, ce: list[float]) -> Column:
     """Squared L2 to an inlined centroid, left-fold order (bit-exact
     reproducible as a left-associated SQL addition chain: the fold's

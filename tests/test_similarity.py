@@ -258,3 +258,51 @@ def test_ivf_index_roundtrip_matches_adhoc_and_prunes(spark, vectors, tmp_path):
     below_kernel = final_plan.split("MapInArrow", 1)
     assert len(below_kernel) == 2, final_plan
     assert "Exchange" not in below_kernel[1], final_plan
+
+
+def test_ivf_train_kmeans_deterministic_and_improves(spark):
+    """Lloyd's with exact decimal sums: bit-identical centroids under
+    repartition (the float-sum order trap is closed), quantization
+    error non-increasing per iteration, and the trained quantizer
+    beats the sampled init on a clustered fixture. Trained centroids
+    plug into knn_ivf unchanged (full probe == brute force)."""
+    import numpy as np
+    from linkgraph.functions.similarity import (
+        ivf_centroids,
+        ivf_train_kmeans,
+        knn_ivf,
+    )
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((6, 12)) * 4.0
+    rows = [
+        (i, (centers[i % 6] + 0.3 * rng.standard_normal(12)).tolist())
+        for i in range(120)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    X = np.array([r[1] for r in rows])
+
+    def qerr(cents):
+        C = np.array([c for _, c in cents])
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).mean()
+
+    sampled = ivf_centroids(vecs, 6)
+    errs = [qerr(sampled)]
+    for it in (1, 2, 3):
+        errs.append(qerr(ivf_train_kmeans(vecs, 6, n_iters=it)))
+    assert all(b <= a + 1e-12 for a, b in zip(errs, errs[1:])), errs
+    assert errs[-1] < errs[0]  # trained beats the sampled init
+
+    a = ivf_train_kmeans(vecs, 6, n_iters=3)
+    b = ivf_train_kmeans(vecs.repartition(7), 6, n_iters=3)
+    assert a == b  # exact decimal sums: partitioning-independent
+
+    got = {(r.query_id, r.rank): r.neighbor_id
+           for r in knn_ivf(vecs, vecs.filter(F.col("vec_id") < 3), k=3,
+                            n_probe=6, centroids=a).collect()}
+    from linkgraph.functions.similarity import knn_bruteforce
+    want = {(r.query_id, r.rank): r.neighbor_id
+            for r in knn_bruteforce(vecs, vecs.filter(F.col("vec_id") < 3),
+                                    k=3).collect()}
+    assert got == want
