@@ -628,10 +628,13 @@ def knn_ivf_indexed(
     n_probe: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_batch: int = 100_000,
 ) -> DataFrame:
     """IVF-flat top-k over a ``build_ivf_index`` table — the serving
     shape: the query BATCH is small by contract, so it is collected
-    (~queries x dim doubles), quantized driver-side with the same
+    (~queries x dim doubles; guarded by ``max_query_batch`` via a
+    take(n+1) so a mistakenly-huge frame fails fast instead of
+    flooding the driver), quantized driver-side with the same
     numpy kernels as the distributed path (bit-identical probes), and
     shipped to executors inside the mapInArrow closure. The CORPUS
     never shuffles: the scan reads ONLY probed list partitions
@@ -659,7 +662,12 @@ def knn_ivf_indexed(
     qrows = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).collect()
+    ).take(max_query_batch + 1)
+    if len(qrows) > max_query_batch:
+        raise ValueError(
+            f"knn_ivf_indexed query batch exceeds max_query_batch="
+            f"{max_query_batch}; split the batch or use knn_ivf"
+        )
     out_schema = "query_id long, neighbor_id long, sim double, rank int"
     if not qrows:
         return spark.createDataFrame([], out_schema)

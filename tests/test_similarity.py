@@ -306,3 +306,12 @@ def test_ivf_train_kmeans_deterministic_and_improves(spark):
             for r in knn_bruteforce(vecs, vecs.filter(F.col("vec_id") < 3),
                                     k=3).collect()}
     assert got == want
+
+
+def test_ivf_indexed_query_batch_guard(spark, vectors, tmp_path):
+    from linkgraph.functions.similarity import build_ivf_index, knn_ivf_indexed
+
+    path = str(tmp_path / "ivf_guard")
+    build_ivf_index(vectors, path, n_centroids=4)
+    with pytest.raises(ValueError, match="max_query_batch"):
+        knn_ivf_indexed(spark, path, vectors, k=2, max_query_batch=10)

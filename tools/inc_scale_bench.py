@@ -176,8 +176,13 @@ def main() -> None:
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     with open(path) as f:
         doc = f.read()
-    if MARK in doc:
-        doc = doc[: doc.index(MARK)].rstrip() + "\n"
+    if MARK in doc:  # replace ONLY our section, keep later ones
+        pre = doc[: doc.index(MARK)]
+        rest = doc[doc.index(MARK) + len(MARK):]
+        nxt = rest.find("\n## ")
+        post = rest[nxt:] if nxt >= 0 else ""
+        doc = pre.rstrip() + "\n" + post.lstrip("\n")
+    doc = doc.rstrip() + "\n"
     doc += f"""
 {MARK}
 
