@@ -123,14 +123,10 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    from md_section import replace_section
+
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     old = open(path).read() if os.path.exists(path) else ""
-    if MARK in old:  # replace just our section
-        pre = old[: old.index(MARK)]
-        rest = old[old.index(MARK) + len(MARK):]
-        nxt = rest.find("\n## ")
-        post = rest[nxt:] if nxt >= 0 else ""
-        old = pre.rstrip() + "\n" + post.lstrip("\n")
     section = f"""{MARK}
 
 MinHash(32)+banded-LSH near-dup detection over
@@ -154,7 +150,7 @@ at every level — the operator is deterministic, so the scaling runs
 double as an equality check).
 """
     with open(path, "w") as f:
-        f.write(old.rstrip() + "\n\n" + section)
+        f.write(replace_section(old, MARK, section))
 
 
 if __name__ == "__main__":

@@ -88,16 +88,13 @@ barrier hash(id)-partitioned with the locked 4-exchange budget — the
 same plan shape test_plans locks at fixture scale, executing here at
 real edge volume. Measured 2026-08-17 on round-4 code.
 """
+    from md_section import replace_section
+
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     with open(path) as f:
         text = f.read()
-    if MARK in text:
-        head, _, rest = text.partition(MARK)
-        # drop the old section (up to the next "## " heading or EOF)
-        nxt = rest.find("\n## ")
-        text = head + (rest[nxt + 1:] if nxt >= 0 else "")
     with open(path, "w") as f:
-        f.write(text.rstrip() + "\n\n" + section)
+        f.write(replace_section(text, MARK, section))
 
 
 if __name__ == "__main__":

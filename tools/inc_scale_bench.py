@@ -176,15 +176,9 @@ def main() -> None:
     path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     with open(path) as f:
         doc = f.read()
-    if MARK in doc:  # replace ONLY our section, keep later ones
-        pre = doc[: doc.index(MARK)]
-        rest = doc[doc.index(MARK) + len(MARK):]
-        nxt = rest.find("\n## ")
-        post = rest[nxt:] if nxt >= 0 else ""
-        doc = pre.rstrip() + "\n" + post.lstrip("\n")
-    doc = doc.rstrip() + "\n"
-    doc += f"""
-{MARK}
+    from md_section import replace_section
+
+    section = f"""{MARK}
 
 Same graph as above, symmetrized ({n_edges:,} symmetric edge rows,
 {n_vertices:,} vertices), co-partitioned big path forced
@@ -201,16 +195,16 @@ shuffle partitions:
     for m, frac in zip([m for m in run.metrics if m["phase"] != "static"], fracs):
         if m["r_size"] > 0:
             dt, levels, _ = next(warm_calls)
-            doc += (
+            section += (
                 f"| ts {m['ts']} {m['phase']} (warm, {levels} levels) "
                 f"| {dt:,.1f} | {100*frac:.2f} |\n"
             )
         else:
-            doc += (
+            section += (
                 f"| ts {m['ts']} {m['phase']} (R empty — screening found "
                 f"nothing; Louvain skipped) | ~0 | 0.00 |\n"
             )
-    doc += f"""
+    section += f"""
 Delta screening + warm start at this scale: every phase re-evaluates
 R% <= {100*max(fracs):.2f}% of vertices and costs <= {max(phase_walls):,.1f}s —
 {t_static_call/max(phase_walls):,.1f}x cheaper than the {t_static_call:,.1f}s
@@ -218,7 +212,7 @@ static rerun (the reference's headline pitch, main_louvain.cpp:1348).
 Measured {time.strftime('%Y-%m-%d')} on round-4 code.
 """
     with open(path, "w") as f:
-        f.write(doc)
+        f.write(replace_section(doc, MARK, section))
 
 
 if __name__ == "__main__":
