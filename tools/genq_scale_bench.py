@@ -86,7 +86,7 @@ moves per round: {", ".join(str(m["moves"]) for m in round_metrics)}).
 The folded (id, community, k, w_u, self_w) state crosses every round
 barrier hash(id)-partitioned with the locked 4-exchange budget — the
 same plan shape test_plans locks at fixture scale, executing here at
-real edge volume. Measured 2026-08-17 on round-4 code.
+real edge volume. Measured {time.strftime('%Y-%m-%d')} on round-4 code.
 """
     from md_section import replace_section
 

@@ -37,7 +37,10 @@ def main() -> None:
     from linkgraph.session import get_spark
 
     spark = get_spark(
-        "inc-scale", master=f"local[{cpus}]", shuffle_partitions=64
+        "inc-scale", master=f"local[{cpus}]", shuffle_partitions=64,
+        # 123M-row workload: the 8g default driver heap dies mid-run
+        # (observed: context teardown inside a shuffle stage)
+        extra_conf={"spark.driver.memory": "48g"},
     )
     from pyspark.sql import functions as F
     from linkgraph.sources.edgegen import generate_edges
