@@ -99,7 +99,10 @@ def main(argv: list[str] | None = None) -> int:
         help="top-k similarity search over an embedding parquet "
         "(exact | lsh | ivf)",
     )
-    sp.add_argument("--vectors", required=True, help="parquet (vec_id, embedding)")
+    sp.add_argument(
+        "--vectors",
+        help="parquet (vec_id, embedding); required unless --index is given",
+    )
     sp.add_argument(
         "--queries",
         help="parquet of query vectors (same schema); default: --vectors itself",
@@ -192,10 +195,33 @@ def main(argv: list[str] | None = None) -> int:
             knn_lsh,
         )
 
-        vectors = spark.read.parquet(args.vectors)
-        queries = (
-            spark.read.parquet(args.queries) if args.queries else vectors
+        if args.index and args.method != "ivf":
+            print(
+                "error: --index only applies to --method ivf "
+                f"(got --method {args.method})",
+                file=sys.stderr,
+            )
+            return 2
+        if not args.index and not args.vectors:
+            print(
+                "error: --vectors is required unless --index is given",
+                file=sys.stderr,
+            )
+            return 2
+        vectors = (
+            spark.read.parquet(args.vectors) if args.vectors else None
         )
+        if args.queries:
+            queries = spark.read.parquet(args.queries)
+        elif vectors is not None:
+            queries = vectors
+        else:
+            print(
+                "error: --queries is required with --index "
+                "(no --vectors to default to)",
+                file=sys.stderr,
+            )
+            return 2
         if args.method == "exact":
             out = knn_bruteforce(vectors, queries, k=args.k)
         elif args.method == "lsh":

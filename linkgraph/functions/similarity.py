@@ -17,6 +17,41 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _fs_for(spark, path: str):
+    """Hadoop FileSystem + Path for ``path`` (resolves the scheme —
+    file://, hdfs://, s3a://, ... — against the session's Hadoop conf)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _sidecar_write(spark, path: str, obj) -> None:
+    """Write a small JSON sidecar through the Hadoop FileSystem API so
+    an index on HDFS/S3A works, not just local POSIX paths (ADVICE r4:
+    the table goes through Spark but the sidecar went through open())."""
+    import json
+
+    fs, jpath = _fs_for(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _sidecar_read(spark, path: str):
+    import json
+
+    fs, jpath = _fs_for(spark, path)
+    stream = fs.open(jpath)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -215,7 +250,19 @@ def ivf_train_kmeans(
     float conversion at the end."""
     cents = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     dim = len(cents[0][1])
-    v = vectors.select(F.col(vec_col).cast("array<double>").alias("nv"))
+    # persist the cast input: the loop rescans it n_iters times, and on
+    # a real table each rescan is a full read+decode of the source
+    v = vectors.select(
+        F.col(vec_col).cast("array<double>").alias("nv")
+    ).persist()
+    try:
+        cents = _lloyd_iterations(v, cents, dim, n_iters)
+    finally:
+        v.unpersist()
+    return cents
+
+
+def _lloyd_iterations(v, cents, dim, n_iters):
     for _ in range(n_iters):
         assign_udf, _ = _np_quantizer_udfs(cents, 1)
         stats = (
@@ -602,9 +649,6 @@ def build_ivf_index(
     extra corpus-sized exchange is the cheaper trade. List sizes are
     balanced for sampled centroids, and AQE splits a skewed learned
     quantizer's hot lists. Returns the centroids."""
-    import json
-    import os
-
     if centroids is None:
         centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     assign_udf, _ = _np_quantizer_udfs(centroids, 1)
@@ -615,9 +659,22 @@ def build_ivf_index(
     if shuffle:
         v = v.repartition("cid")
     v.write.mode("overwrite").partitionBy("cid").parquet(path)
-    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    _sidecar_write(
+        vectors.sparkSession, path.rstrip("/") + "/_ivf_centroids.json",
+        centroids,
+    )
     return centroids
+
+
+def _read_index_centroids(spark, index_path: str) -> list:
+    """Load a ``build_ivf_index`` table's quantizer sidecar (via the
+    Hadoop FS API — works on any scheme the session can read)."""
+    return [
+        (int(cid), ce)
+        for cid, ce in _sidecar_read(
+            spark, index_path.rstrip("/") + "/_ivf_centroids.json"
+        )
+    ]
 
 
 def knn_ivf_indexed(
@@ -650,13 +707,9 @@ def knn_ivf_indexed(
     (asserted in tests: chunked matmuls produce the same per-pair
     sims, and the global top-k of per-chunk partial top-ks under the
     shared (sim desc, id asc) order is exact)."""
-    import json
-    import os
-
     import pyarrow as pa
 
-    with open(os.path.join(index_path, "_ivf_centroids.json")) as f:
-        centroids = [(int(cid), ce) for cid, ce in json.load(f)]
+    centroids = _read_index_centroids(spark, index_path)
     n_probe_eff = min(n_probe, len(centroids))
     _, probes_np = _quantizer_kernels(centroids, n_probe_eff)
     qrows = queries.select(

@@ -221,3 +221,29 @@ def test_cli_ann_index_roundtrip(spark, tmp_path, capsys):
     want = {(r.query_id, r.rank): r.neighbor_id
             for r in spark.read.parquet(str(tmp_path / "knn_exact")).collect()}
     assert got == want  # full probe == exact
+
+    # ADVICE r4 validation: --index with a non-ivf method is an error
+    # (the old elif chain silently ignored it), and indexed mode works
+    # WITHOUT --vectors as long as --queries is given
+    rc = main(
+        ["ann", "--queries", vec_path, "--output", str(tmp_path / "bad"),
+         "--method", "exact", "--index", idx_path]
+    )
+    assert rc == 2
+    rc = main(
+        ["ann", "--output", str(tmp_path / "bad2"), "--method", "ivf"]
+    )
+    assert rc == 2  # neither --index nor --vectors
+    rc = main(
+        ["ann", "--output", str(tmp_path / "bad3"), "--method", "ivf",
+         "--index", idx_path]
+    )
+    assert rc == 2  # indexed but no --queries and no --vectors default
+    capsys.readouterr()
+    rc = main(
+        ["ann", "--queries", vec_path, "--output", str(tmp_path / "knn_idx2"),
+         "--method", "ivf", "--index", idx_path, "--k", "3", "--n-probe", "4"]
+    )
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["pairs"] == 30 * 3

@@ -77,10 +77,25 @@ def test_embedding_near_dup_exact_matches_numpy(spark, vectors):
     got = {(r.a, r.b): r.sim for r in embedding_near_dup_exact(vectors, threshold=t).collect()}
     assert set(got) == set(want)
     assert all(abs(got[p] - want[p]) < 2e-6 for p in got)
+    # subset check pinned to sim_impl="fold": identical rounding to the
+    # exact baseline, so `lsh <= got` holds by construction (ADVICE r4:
+    # the numpy batch cosine can disagree with the fold within float
+    # noise of the 6-decimal rounding boundary, flipping the >= filter)
     lsh = {(r.a, r.b) for r in
-           embedding_near_dup_pairs(vectors, threshold=t, n_planes=6).collect()}
+           embedding_near_dup_pairs(vectors, threshold=t, n_planes=6,
+                                    sim_impl="fold").collect()}
     assert lsh <= set(got)
     assert (0, 1) in lsh  # planted collinear dup survives bucketing
+    # the numpy scale path is boundary-tolerant-equal to fold: same
+    # pairs up to sims within 2e-6 of the threshold, sims within 2e-6
+    np_pairs = {(r.a, r.b): r.sim for r in
+                embedding_near_dup_pairs(vectors, threshold=t,
+                                         n_planes=6).collect()}
+    for p in set(np_pairs) ^ lsh:
+        s = np_pairs.get(p, want.get(p, 0.0))
+        assert abs(s - t) < 2e-6
+    for p in set(np_pairs) & lsh:
+        assert abs(np_pairs[p] - want[p]) < 2e-6
 
 
 def test_knn_on_sf_embeddings(spark):

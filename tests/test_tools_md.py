@@ -59,6 +59,19 @@ def test_absent_mark_appends():
     assert all(s in out for s in ("alpha numbers", "beta numbers", "gamma numbers"))
 
 
+def test_replace_keeps_section_order_and_blank_lines():
+    # ADVICE round 4: the old splice removed the section in place but
+    # re-appended it at EOF, reordering the doc and gluing the preceding
+    # prose straight against the next "## " heading.
+    out = replace_section(DOC, "## Beta tier at scale",
+                          "## Beta tier at scale\n\nNEW beta")
+    assert (out.index("alpha numbers")
+            < out.index("NEW beta")
+            < out.index("gamma numbers"))
+    assert "alpha numbers\n\n## Beta" in out
+    assert "NEW beta\n\n## Gamma" in out
+
+
 def test_idempotent():
     sec = "## Beta tier at scale\n\nNEW beta"
     once = replace_section(DOC, "## Beta tier at scale", sec)

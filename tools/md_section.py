@@ -13,13 +13,17 @@ from __future__ import annotations
 
 def replace_section(doc: str, mark: str, section: str) -> str:
     """Return ``doc`` with the section starting at the ``mark`` heading
-    (up to the next ``## `` heading or EOF) replaced by ``section``,
-    appended at the end if absent. All other content is preserved
-    byte-for-byte up to surrounding blank-line normalization."""
+    (up to the next ``## `` heading or EOF) replaced by ``section``
+    IN PLACE (preserving section order), appended at the end if absent.
+    All other content is preserved byte-for-byte up to surrounding
+    blank-line normalization."""
     if mark in doc:
         pre = doc[: doc.index(mark)]
         rest = doc[doc.index(mark) + len(mark):]
         nxt = rest.find("\n## ")
         post = rest[nxt:] if nxt >= 0 else ""
-        doc = pre.rstrip() + "\n" + post.lstrip("\n")
+        out = pre.rstrip() + "\n\n" + section.strip() + "\n"
+        if post:
+            out += "\n" + post.lstrip("\n")
+        return out.rstrip() + "\n"
     return doc.rstrip() + "\n\n" + section.strip() + "\n"
