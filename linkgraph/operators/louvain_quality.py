@@ -278,6 +278,8 @@ def louvain_generalized(
     max_levels: int = 10,
     broadcast_threshold: int = 5_000_000,
     pre_partitioned: bool = False,
+    local_threshold: int = 50_000,
+    local_edge_cap: int = 5_000_000,
 ) -> GeneralizedLouvainResult:
     """Multi-level Louvain under quality function ``quality_id`` (0-9,
     the reference's -q ids). Level-0 preprocessing (self-loop injection
@@ -290,7 +292,17 @@ def louvain_generalized(
     path's one-time level-0 repartition is skipped. NOTE: ids 4/7
     reweight/extend the edge table at level 0 (graph_weighting /
     add_selfloops), which invalidates the layout; the flag is ignored
-    for those ids."""
+    for those ids.
+    local_threshold / local_edge_cap: the id-0 small-quotient fast
+    path (operators.louvain same-named args), generalized — once a
+    POST-CONTRACTION quotient has at most local_threshold vertices AND
+    at most local_edge_cap edge rows, the remaining levels run on the
+    driver (operators/louvain_quality_local.py: same synchronous
+    schedule, same gain expression trees — labels/quality/levels/
+    metrics identical for the integer-weight ids, tested; ids 4/7 land
+    inside the distributed path's own float-order ULP envelope, see
+    that module's docstring). 0 disables (pure distributed — the
+    plan-audit configuration). Level 0 always runs distributed."""
     params = dict(params or {})
     e = edges.select(
         F.col("src").cast("long"),
@@ -355,6 +367,55 @@ def louvain_generalized(
     n_nodes = int(n)  # per-level vertex count, updated by contraction
     q_final = 0.0
     for level in range(max_levels):
+        if (
+            level > 0
+            and local_threshold > 0
+            and n_nodes <= local_threshold
+            # edge-row guard: the quotient is a materialized barrier,
+            # so this count is one cheap job (id-0 local_edge_cap doc)
+            and cur_edges.count() <= local_edge_cap
+        ):
+            # small-quotient fast path: post-contraction levels start
+            # from singletons, so the collected quotient (dense ids
+            # 0..n_nodes-1 by the contraction invariant) plus the
+            # carried node weights fully determine the rest of the run
+            from linkgraph.operators.louvain_quality_local import (
+                run_local_levels_q,
+            )
+
+            rows = cur_edges.select("src", "dst", "weight").collect()
+            nw_rows = [(r["id"], r["w_u"]) for r in node_w.collect()]
+            level_maps, q_final, lv_local, m_local = run_local_levels_q(
+                rows, nw_rows, n_nodes, quality_id, params,
+                m2, n, max_w, side, max_rounds_per_level,
+                max_levels - level, level,
+            )
+            metrics.extend(m_local)
+            levels_done = level + lv_local
+            comp: dict[int, int] | None = None
+            for dense_map in level_maps:
+                comp = (
+                    dict(dense_map)
+                    if comp is None
+                    else {o: dense_map[nd] for o, nd in comp.items()}
+                )
+            if comp is not None:
+                comp_df = F.broadcast(
+                    spark.createDataFrame(
+                        [(int(o), int(c)) for o, c in comp.items()],
+                        "node long, final long",
+                    )
+                )
+                orig_map = barrier(
+                    orig_map.join(comp_df, "node").select(
+                        "orig", F.col("final").alias("node")
+                    ),
+                    reset_stats=True,
+                )
+            if cur_edges is not e:
+                release(cur_edges)
+            cur_edges = e  # poison-proof: nothing below runs after break
+            break
         # fold the level's per-vertex constants ONCE (id-0 pattern); on
         # the big path the folded state is checkpointed
         # hash(id)-partitioned and KEPT so across every round barrier

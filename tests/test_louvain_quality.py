@@ -129,3 +129,42 @@ def test_generalized_big_path_labels_match_broadcast(spark):
     lb = {r.id: r.community for r in b.assignment.collect()}
     assert la == lb
     assert a.quality == b.quality
+
+
+_LOCAL_QIDS = list(range(10)) if os.environ.get("LINKGRAPH_SLOW") else [0, 3, 8, 9]
+
+
+@pytest.mark.parametrize("qid", _LOCAL_QIDS)
+def test_generalized_local_fastpath_identical(spark, qid):
+    """The small-quotient local fast path (default on, kicks in at
+    level 1) must be BYTE-IDENTICAL to the pure distributed loop
+    (local_threshold=0) — labels, quality, level count, and per-round
+    move counts (the integer-weight exactness argument in
+    operators/louvain_quality_local.py)."""
+    from tests.fixtures import random_edges
+
+    df = spark.createDataFrame(
+        random_edges(40, 100, 7, weighted=True), "src long, dst long, weight double"
+    )
+    g = build_graph(df)
+    a = louvain_generalized(spark, g, quality_id=qid, max_levels=4)
+    b = louvain_generalized(
+        spark, g, quality_id=qid, max_levels=4, local_threshold=0
+    )
+    la = {r.id: r.community for r in a.assignment.collect()}
+    lb = {r.id: r.community for r in b.assignment.collect()}
+    assert la == lb
+    assert a.quality == b.quality  # bit-equal, not approx
+    assert a.levels == b.levels
+    moves_a = [(m["level"], m["round"], m["moves"])
+               for m in a.metrics if "moves" in m]
+    moves_b = [(m["level"], m["round"], m["moves"])
+               for m in b.metrics if "moves" in m]
+    assert moves_a == moves_b
+    quals_a = [(m["level"], m["quality"]) for m in a.metrics if "quality" in m]
+    quals_b = [(m["level"], m["quality"]) for m in b.metrics if "quality" in m]
+    assert quals_a == quals_b
+    # the fast path actually engaged: level-1+ rounds ran locally, so
+    # the default run must have been faster to produce... assert via
+    # levels: both ran >1 level (otherwise this test is vacuous)
+    assert a.levels > 1
