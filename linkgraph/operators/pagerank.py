@@ -54,6 +54,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     run_id: str = "pagerank",
     runner: SuperstepRunner | None = None,
+    chain: int = 1,
 ) -> DataFrame:
     """Power iteration to ``max |score - score'| < tol``.
 
@@ -75,6 +76,24 @@ def pagerank(
     ``graph.build.read_adjacency_table`` — so the one-time
     edges_norm repartition is skipped (zero initial exchange;
     plan-audited).
+
+    chain: power iterations per MATERIALIZED superstep (barrier-
+    elision). Each runner superstep lazily composes ``chain``
+    iterations into one Spark job — the per-job fixed cost (driver
+    round trip, task scheduling, localCheckpoint, Observation fetch)
+    is paid once per chain instead of once per iteration, which is
+    the measured floor on small/contracted graphs (STATUS.md pages-
+    spine profile) and a real win at scale too (fewer global barriers
+    per convergence). Intermediate iterations fold the dangling mass
+    in-plan as a broadcast 1-row scalar (exchange reuse makes the
+    rescan free); the convergence test (max per-vertex delta < tol)
+    is evaluated on the chain's LAST iteration pair, so a run may
+    execute up to chain-1 iterations past convergence — same
+    fixpoint criterion, coarser test granularity. chain=1 (default)
+    is the reference-exact per-iteration schedule and the plan-audit
+    configuration; runner.max_iter counts CHAINS when chain > 1.
+    Scores equal the chain=1 run's at the same iteration count
+    (identical per-iteration arithmetic; tested allclose).
     """
     edges = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long"),
@@ -121,6 +140,9 @@ def pagerank(
     dangling_flag = verts.join(out_w, verts.id == out_w.src, "left").select(
         "id", F.col("out_w").isNull().alias("is_dangling")
     )
+    n_dangling = (
+        dangling_flag.filter(F.col("is_dangling")).count() if chain > 1 else -1
+    )
     # state partitioned on id to match edges_norm's src-partitioning;
     # barrier preserves it across supersteps
     state = dangling_flag.withColumn("score", F.lit(1.0 / n)).repartition(n_part, "id")
@@ -131,15 +153,8 @@ def pagerank(
     # superstep and a mid-run resume from a durable checkpoint.
     ctx: dict[str, float | None] = {"dangling": None}
 
-    def step(st: DataFrame, i: int) -> DataFrame:
-        if ctx["dangling"] is None:
-            ctx["dangling"] = float(
-                st.agg(
-                    F.sum(F.when(F.col("is_dangling"), F.col("score")).otherwise(0.0))
-                ).first()[0]
-                or 0.0
-            )
-        scores = st.select("id", "score")
+    def _one_iteration(cur: DataFrame, base_col) -> DataFrame:
+        scores = cur.select("id", "score")
         # broadcast below threshold (driver-serial build: small graphs
         # only); above it, shuffle-hash with the id-partitioned state as
         # build side — zero exchange since both sides are pre-partitioned
@@ -165,26 +180,61 @@ def pagerank(
             )
         else:
             incoming = contribs.groupBy("dst").agg(F.sum("contrib").alias("incoming"))
-
-        base = (1.0 - damping) / n + damping * ctx["dangling"] / n
+        # rename the join key: chained iterations join `cur` with a
+        # frame DERIVED from `cur`, where a shared `dst`/`id` lineage
+        # would trip ambiguous-self-join resolution
+        incoming = incoming.select(F.col("dst").alias("in_id"), "incoming")
         if not small:
             # incoming is hash-partitioned on dst by the agg; with the
             # state partitioned on id this join is exchange-free too
             incoming = incoming.hint("shuffle_hash")
-        out = st.join(incoming, st.id == incoming.dst, "left").select(
-            st.id,
-            st.is_dangling,
-            st.score.alias("old_score"),
-            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))).alias(
+        return cur.join(incoming, cur.id == F.col("in_id"), "left").select(
+            cur.id,
+            cur.is_dangling,
+            cur.score.alias("old_score"),
+            (base_col + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))).alias(
                 "score"
             ),
         )
+
+    def step(st: DataFrame, i: int) -> DataFrame:
+        if ctx["dangling"] is None:
+            ctx["dangling"] = float(
+                st.agg(
+                    F.sum(F.when(F.col("is_dangling"), F.col("score")).otherwise(0.0))
+                ).first()[0]
+                or 0.0
+            )
+        cur = st
+        for j in range(max(1, chain)):
+            if j == 0 or n_dangling == 0:
+                # no dangling vertices -> the dangling term is 0.0
+                # forever and every chained iteration's base is the
+                # same constant: no in-plan scalar needed (the common
+                # case for link graphs where every page links out)
+                base_col = F.lit(
+                    (1.0 - damping) / n + damping * ctx["dangling"] / n
+                )
+            else:
+                # intermediate chained iteration: the dangling mass is
+                # a 1-row broadcast scalar folded into the same plan
+                # (the rescan of `cur` reuses its exchanges)
+                dm = cur.agg(
+                    F.sum(
+                        F.when(F.col("is_dangling"), F.col("score")).otherwise(0.0)
+                    ).alias("dmass")
+                )
+                cur = cur.crossJoin(F.broadcast(dm))
+                base_col = F.lit((1.0 - damping) / n) + F.lit(
+                    damping / n
+                ) * F.coalesce(F.col("dmass"), F.lit(0.0))
+            cur = _one_iteration(cur, base_col)
         # convergence scalars ride the barrier's own materialization
         # (zero extra jobs per superstep): max per-vertex delta + the
         # NEXT superstep's dangling mass
         obs = Observation()
         ctx["obs"] = obs
-        return out.observe(
+        return cur.observe(
             obs,
             F.max(F.abs(F.col("score") - F.col("old_score"))).alias("delta"),
             F.sum(

@@ -85,3 +85,34 @@ def test_pagerank_metrics_logged(spark):
     deltas = [m["delta"] for m in r.metrics]
     assert deltas[-1] < 1e-6
     assert all(np.isfinite(d) for d in deltas)
+
+
+def test_pagerank_chained_matches_unchained(spark):
+    """chain=k (k iterations per materialized barrier) must reproduce
+    the per-iteration schedule's scores at the same iteration count —
+    both with and without dangling vertices (the dangling case folds
+    the mass as an in-plan broadcast scalar each chained iteration)."""
+    from linkgraph.plans.superstep import SuperstepRunner
+
+    # dangling: 2 has no out-edges
+    dangling = [(0, 1, 1.0), (1, 2, 1.0), (3, 0, 1.0), (0, 3, 2.0)]
+    # no dangling: every vertex links out (the constant-base fast case)
+    cyclic = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (2, 3, 1.0), (3, 1, 1.0)]
+    for edges in (dangling, cyclic):
+        df = spark.createDataFrame(edges, "src long, dst long, weight double")
+        r1 = SuperstepRunner(spark, run_id="chain-a", max_iter=12)
+        a = {r.id: r.score
+             for r in pagerank(spark, df, tol=0.0, runner=r1).collect()}
+        r3 = SuperstepRunner(spark, run_id="chain-b", max_iter=4)
+        b = {r.id: r.score
+             for r in pagerank(spark, df, tol=0.0, runner=r3, chain=3).collect()}
+        assert a.keys() == b.keys()
+        assert all(abs(a[k] - b[k]) < 1e-12 for k in a), (edges, a, b)
+        assert len(r3.metrics) == 4  # 4 chains of 3 = 12 iterations
+
+
+def test_pagerank_chained_converges_to_oracle(spark):
+    g = build_graph(toy_edges_df(spark))
+    edges = [(r.src, r.dst, r.weight) for r in g.collect()]
+    result = pagerank(spark, g, tol=1e-9, chain=4)
+    _assert_allclose(result, pagerank_oracle(edges, tol=1e-9), tol=1e-6)
