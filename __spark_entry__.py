@@ -431,6 +431,30 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
+def _q_knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed IVF query JOIN over a durable cid-partitioned index
+    (functions/similarity.py::knn_ivf_join — the corpus-vs-corpus
+    shape: queries are never collected to the driver; the corpus is
+    never re-quantized). The index is built from the table with the
+    same deterministic data-derived quantizer as knn_ivf, and the low
+    hot_list_cap forces the salted hot-list split (~312-row lists vs a
+    200 cap), so this oracle certifies BOTH round-5 mechanisms: the
+    result equals knn_ivf with the same quantizer, recomputed in SQL
+    with no inlined constants."""
+    import os
+    import tempfile
+
+    from linkgraph.functions.similarity import build_ivf_index, knn_ivf_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    idx = os.path.join(tempfile.gettempdir(), "linkgraph_harness_ivf_join")
+    build_ivf_index(emb, idx, n_centroids=16)
+    return knn_ivf_join(
+        spark, idx, queries, k=5, n_probe=4, hot_list_cap=200
+    )
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (brute-force baseline —
     the exactness anchor for the LSH-bucketed scale path, certified by
@@ -539,6 +563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_cosine": _q_knn_cosine,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_join": _q_knn_ivf_join,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window_agg": _q_events_window_agg,
         "check_symmetry": _q_check_symmetry,
@@ -1242,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS id, count(*) AS deg, CAST(sum(weight) AS DOUBLE) AS wdeg
             FROM edges GROUP BY src""",
         "pagerank_k8": _pagerank_sql(8),
+        "knn_ivf_join": _knn_ivf_sql(16, 4, 5),
         "triangle_count": f"""WITH {EDGES_CTE},
             canon AS (
               SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst

@@ -119,6 +119,13 @@ def main(argv: list[str] | None = None) -> int:
         "queries then read ONLY their probed list partitions "
         "(--vectors/--n-centroids are ignored)",
     )
+    sp.add_argument(
+        "--join",
+        action="store_true",
+        help="with --index: use the distributed query JOIN (no driver "
+        "query-batch cap — the corpus-vs-corpus shape) instead of the "
+        "collected-batch serving path",
+    )
     sp.add_argument("--shuffle-partitions", type=int, default=None)
 
     sp = sub.add_parser(
@@ -135,6 +142,27 @@ def main(argv: list[str] | None = None) -> int:
         default=0,
         help="train the quantizer with N deterministic Lloyd's "
         "iterations (0 = hash-sampled seeds only)",
+    )
+    sp.add_argument("--shuffle-partitions", type=int, default=None)
+
+    sp = sub.add_parser(
+        "ann-index-maintain",
+        help="incremental maintenance of an ann-index table: append a "
+        "vector batch (frozen quantizer, generation-stamped), tombstone "
+        "ids, or compact to live rows",
+    )
+    sp.add_argument("--index", required=True)
+    sp.add_argument("--add", help="parquet (vec_id, embedding) to append")
+    sp.add_argument(
+        "--replace",
+        action="store_true",
+        help="with --add: tombstone the incoming ids' older copies",
+    )
+    sp.add_argument("--delete", help="parquet of ids to tombstone")
+    sp.add_argument(
+        "--compact",
+        action="store_true",
+        help="rewrite the index to live rows and clear tombstones",
     )
     sp.add_argument("--shuffle-partitions", type=int, default=None)
 
@@ -187,11 +215,41 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"lists": len(cents), "index": args.output}))
         return 0
 
+    if args.cmd == "ann-index-maintain":
+        from linkgraph.functions.similarity import (
+            ivf_index_compact,
+            ivf_index_delete,
+            ivf_index_upsert,
+        )
+
+        out: dict = {"index": args.index}
+        if args.add:
+            out["gen"] = ivf_index_upsert(
+                spark, args.index, spark.read.parquet(args.add),
+                replace=args.replace,
+            )
+        if args.delete:
+            out["tombstoned"] = ivf_index_delete(
+                spark, args.index, spark.read.parquet(args.delete)
+            )
+        if args.compact:
+            out["live_rows"] = ivf_index_compact(spark, args.index)
+        if len(out) == 1:
+            print(
+                "error: ann-index-maintain needs --add, --delete "
+                "and/or --compact",
+                file=sys.stderr,
+            )
+            return 2
+        print(json.dumps(out))
+        return 0
+
     if args.cmd == "ann":
         from linkgraph.functions.similarity import (
             knn_bruteforce,
             knn_ivf,
             knn_ivf_indexed,
+            knn_ivf_join,
             knn_lsh,
         )
 
@@ -226,6 +284,10 @@ def main(argv: list[str] | None = None) -> int:
             out = knn_bruteforce(vectors, queries, k=args.k)
         elif args.method == "lsh":
             out = knn_lsh(vectors, queries, k=args.k, n_planes=args.n_planes)
+        elif args.index and args.join:
+            out = knn_ivf_join(
+                spark, args.index, queries, k=args.k, n_probe=args.n_probe
+            )
         elif args.index:
             out = knn_ivf_indexed(
                 spark, args.index, queries, k=args.k, n_probe=args.n_probe

@@ -247,3 +247,56 @@ def test_cli_ann_index_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert meta["pairs"] == 30 * 3
+
+
+def test_cli_ann_index_maintain_and_join(spark, tmp_path, capsys):
+    """ann-index-maintain: add/delete/compact round-trip, and ann
+    --join serves the same live set as the collected-batch path."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(30)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vec_path = str(tmp_path / "vecs")
+    vecs.write.parquet(vec_path)
+    idx = str(tmp_path / "ivf")
+    assert main(["ann-index", "--vectors", vec_path, "--output", idx,
+                 "--n-centroids", "4"]) == 0
+    capsys.readouterr()
+
+    add = spark.createDataFrame(
+        [(100 + i, rng.standard_normal(8).tolist()) for i in range(5)],
+        "vec_id long, embedding array<double>")
+    add_path = str(tmp_path / "add")
+    add.write.parquet(add_path)
+    dels = spark.createDataFrame([(0,), (100,)], "vec_id long")
+    del_path = str(tmp_path / "dels")
+    dels.write.parquet(del_path)
+
+    assert main(["ann-index-maintain", "--index", idx, "--add", add_path]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["gen"] == 1
+    assert main(["ann-index-maintain", "--index", idx, "--delete", del_path]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["tombstoned"] == 2
+    assert main(["ann-index-maintain", "--index", idx]) == 2  # no action
+    capsys.readouterr()
+
+    # join path == serving path on the live set
+    assert main(["ann", "--queries", vec_path, "--method", "ivf",
+                 "--index", idx, "--join", "--k", "3", "--n-probe", "4",
+                 "--output", str(tmp_path / "knn_join")]) == 0
+    assert main(["ann", "--queries", vec_path, "--method", "ivf",
+                 "--index", idx, "--k", "3", "--n-probe", "4",
+                 "--output", str(tmp_path / "knn_serve")]) == 0
+    capsys.readouterr()
+    j = {(r.query_id, r.rank): r.neighbor_id
+         for r in spark.read.parquet(str(tmp_path / "knn_join")).collect()}
+    s = {(r.query_id, r.rank): r.neighbor_id
+         for r in spark.read.parquet(str(tmp_path / "knn_serve")).collect()}
+    assert j == s
+    assert 0 not in {n for n in j.values()}  # tombstoned id never served
+
+    assert main(["ann-index-maintain", "--index", idx, "--compact"]) == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["live_rows"] == 33

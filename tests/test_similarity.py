@@ -330,3 +330,130 @@ def test_ivf_indexed_query_batch_guard(spark, vectors, tmp_path):
     build_ivf_index(vectors, path, n_centroids=4)
     with pytest.raises(ValueError, match="max_query_batch"):
         knn_ivf_indexed(spark, path, vectors, k=2, max_query_batch=10)
+
+
+# ---- round 5: distributed indexed join, hot-list split, maintenance ----
+
+
+def test_knn_ivf_join_matches_adhoc(spark, vectors, tmp_path):
+    """The distributed indexed JOIN path (queries never collected) must
+    equal the ad-hoc knn_ivf fed the same quantizer — at full probe and
+    at partial probe, with and without scan pruning."""
+    from linkgraph.functions.similarity import build_ivf_index, knn_ivf, knn_ivf_join
+
+    idx = str(tmp_path / "ivf_join")
+    cents = build_ivf_index(vectors, idx, n_centroids=4)
+    for n_probe in (4, 2):
+        want = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+                knn_ivf(vectors, vectors, k=3, n_centroids=4, n_probe=n_probe,
+                        centroids=cents).collect()}
+        got = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+               knn_ivf_join(spark, idx, vectors, k=3, n_probe=n_probe).collect()}
+        assert got == want
+        pruned = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+                  knn_ivf_join(spark, idx, vectors, k=3, n_probe=n_probe,
+                               prune_scan=True).collect()}
+        assert pruned == want
+
+
+def test_hot_list_split_identical(spark, vectors, tmp_path):
+    """Forcing every list to split (cap below any list size) must not
+    change a single row — same candidates, same global top-k."""
+    from linkgraph.functions.similarity import build_ivf_index, knn_ivf, knn_ivf_join
+
+    idx = str(tmp_path / "ivf_hot")
+    cents = build_ivf_index(vectors, idx, n_centroids=4)
+    base = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+            knn_ivf_join(spark, idx, vectors, k=3, n_probe=4).collect()}
+    split = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+             knn_ivf_join(spark, idx, vectors, k=3, n_probe=4,
+                          hot_list_cap=5).collect()}
+    assert split == base
+    # the ad-hoc numpy path takes the same cap
+    adhoc = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+             knn_ivf(vectors, vectors, k=3, n_centroids=4, n_probe=4,
+                     centroids=cents, inline_threshold=0,
+                     hot_list_cap=5).collect()}
+    assert adhoc == base
+
+
+def test_split_hot_lists_only_splits_hot(spark, vectors):
+    from linkgraph.functions.similarity import _np_quantizer_udfs, _split_hot_lists
+    from linkgraph.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(vectors, 4)
+    assign_udf, probes_udf = _np_quantizer_udfs(cents, 2)
+    v = vectors.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("embedding").alias("nv")).withColumn(
+        "cid", assign_udf(F.col("nv")))
+    q = vectors.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv")).select(
+        "query_id", "qv", F.explode(probes_udf(F.col("qv"))).alias("cid"))
+    sizes = {r["cid"]: r["cnt"] for r in
+             v.groupBy("cid").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    cap = max(sizes.values()) - 1  # only the largest list splits
+    v2, q2, splits = _split_hot_lists(v, q, cap)
+    assert set(splits) == {c for c, s in sizes.items() if s > cap}
+    # replication factor on the query side matches the split map
+    n_extra = sum((splits.get(r["cid"], 1) - 1) for r in q.collect())
+    assert q2.count() == q.count() + n_extra
+    # vector side never replicates, only salts
+    assert v2.count() == v.count()
+    assert v2.filter(F.col("salt") >= F.coalesce(
+        F.lit(None), F.lit(0))).count() == v.count()
+
+
+def test_ivf_index_maintenance_lifecycle(spark, vectors, tmp_path):
+    """Upsert/delete/replace/compact (VERDICT r4 #3): appends use the
+    frozen quantizer and generation stamps; deletes are gen-cut
+    tombstones (re-add of a deleted id works WITHOUT compact); both
+    query paths (driver-batch serving + distributed join) serve the
+    live set; compact rewrites to live rows and preserves results."""
+    import numpy as np
+    from linkgraph.functions.similarity import (
+        _read_index_rows, build_ivf_index, ivf_index_compact,
+        ivf_index_delete, ivf_index_upsert, knn_ivf_indexed, knn_ivf_join)
+
+    idx = str(tmp_path / "ivf_maint")
+    build_ivf_index(vectors, idx, n_centroids=4)
+    rng = np.random.default_rng(11)
+    newv = spark.createDataFrame(
+        [(100 + i, rng.standard_normal(16).tolist()) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    gen = ivf_index_upsert(spark, idx, newv)
+    assert gen == 1
+    assert _read_index_rows(spark, idx).count() == 50
+
+    ivf_index_delete(spark, idx, [0, 100])
+    live = _read_index_rows(spark, idx)
+    assert live.count() == 48
+    assert live.filter(F.col("neighbor_id").isin(0, 100)).count() == 0
+
+    # both query paths hide tombstoned ids
+    q5 = vectors.filter(F.col("vec_id") < 5)
+    served = {r.neighbor_id for r in
+              knn_ivf_indexed(spark, idx, q5, k=50, n_probe=4).collect()}
+    joined = {r.neighbor_id for r in
+              knn_ivf_join(spark, idx, q5, k=50, n_probe=4).collect()}
+    assert 0 not in served and 100 not in served
+    assert served == joined
+
+    # re-add id 0 (replace): survives its own earlier tombstone
+    re0 = vectors.filter(F.col("vec_id") == 0)
+    gen2 = ivf_index_upsert(spark, idx, re0, replace=True)
+    assert gen2 == 2
+    live = _read_index_rows(spark, idx)
+    assert live.count() == 49
+    assert live.filter(F.col("neighbor_id") == 0).count() == 1
+
+    before = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+              knn_ivf_join(spark, idx, vectors, k=3, n_probe=4).collect()}
+    n = ivf_index_compact(spark, idx)
+    assert n == 49
+    assert _read_index_rows(spark, idx).count() == 49
+    after = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+             knn_ivf_join(spark, idx, vectors, k=3, n_probe=4).collect()}
+    assert after == before
+    # tombstones cleared by the compact
+    import os
+    assert not os.path.exists(os.path.join(idx, "_tombstones"))
