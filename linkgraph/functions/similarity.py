@@ -567,7 +567,12 @@ def knn_ivf(
     Determinism: centroid selection, squared-L2 assignment (lowest-cid
     tie-break) and the (sim desc, id asc) rerank are all reproducible
     bit-for-bit in the DuckDB harness oracle. Returns the
-    ``knn_bruteforce`` schema (may return fewer than k rows/query)."""
+    ``knn_bruteforce`` schema (may return fewer than k rows/query).
+
+    hot_list_cap (numpy path): inverted lists above this row count are
+    split into salted sub-lists before the cogrouped rerank
+    (``_split_hot_lists``) so a skewed learned quantizer cannot pin
+    one straggler task; results identical."""
     if centroids is None:
         centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     n_probe_eff = min(n_probe, len(centroids))
