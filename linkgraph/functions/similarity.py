@@ -744,6 +744,108 @@ def _read_index_centroids(spark, index_path: str) -> list:
     ]
 
 
+def build_ivf_table(
+    vectors: DataFrame,
+    table: str,
+    path: str,
+    n_centroids: int = 128,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    num_buckets: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """CATALOG-KNOWN bucketed IVF layout — the similarity tier's analog
+    of the graph tier's ``write_adjacency_table`` (K1): the same
+    inverted lists as ``build_ivf_index``, but written ``bucketBy(cid)``
+    so every later read exposes HashPartitioning(cid) to the planner —
+    the heavy corpus side of a cogrouped query JOIN plans with NO
+    exchange (the one corpus shuffle ``knn_ivf_join`` pays on an
+    unbucketed path index disappears; plan-audited in tests). The
+    quantizer is stored as a companion catalog table
+    ``<table>_centroids`` (a catalog world stores metadata in tables,
+    not sidecar files).
+
+    num_buckets defaults to the session shuffle partition count — the
+    query side's probe shuffle then lands on the same partitioning.
+    The in-memory session catalog keeps the spec for the session; at
+    scale the same call against a metastore/Iceberg catalog makes it
+    durable (the K1 caveat, shared). Maintenance (upsert/tombstone)
+    stays with the path-based index; this is the heavy-query layout."""
+    spark = vectors.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if centroids is None:
+        centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
+    assign_udf, _ = _np_quantizer_udfs(centroids, 1)
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    ).withColumn("cid", assign_udf(F.col("nv")))
+    (
+        v.repartition(num_buckets, "cid")
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, "cid")
+        .saveAsTable(table)
+    )
+    (
+        spark.createDataFrame(
+            [(int(cid), [float(x) for x in ce]) for cid, ce in centroids],
+            "cid int, ce array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("path", path.rstrip("/") + "_centroids")
+        .saveAsTable(table + "_centroids")
+    )
+    return centroids
+
+
+def knn_ivf_join_table(
+    spark,
+    table: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    hot_list_cap: int | None = None,
+) -> DataFrame:
+    """``knn_ivf_join`` over a ``build_ivf_table`` bucketed layout: the
+    corpus side cogroups straight off its buckets (zero exchange — the
+    scan's HashPartitioning(cid) satisfies the cogroup's clustering);
+    only the probe rows shuffle. Results identical to ``knn_ivf_join``
+    /``knn_ivf`` with the same quantizer.
+
+    hot_list_cap defaults to None here: salting rewrites the grouping
+    key to (cid, salt), which discards the bucketing advantage — on a
+    skewed quantizer prefer the path index + ``knn_ivf_join``, or pass
+    a cap explicitly to trade the corpus exchange back in."""
+    centroids = [
+        (int(r["cid"]), list(r["ce"]))
+        for r in spark.table(table + "_centroids").collect()
+    ]
+    centroids.sort(key=lambda t: t[0])
+    n_probe_eff = min(n_probe, len(centroids))
+    _, probes_udf = _np_quantizer_udfs(centroids, n_probe_eff)
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).select(
+        "query_id", "qv", F.explode(probes_udf(F.col("qv"))).alias("cid")
+    )
+    v = spark.table(table).select("neighbor_id", "nv", "cid")
+    scored = _cogroup_rerank(v, q, k, hot_list_cap)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
 def _read_index_meta(spark, index_path: str) -> dict:
     fs, jpath = _fs_for(spark, index_path.rstrip("/") + "/_ivf_meta.json")
     if not fs.exists(jpath):
@@ -917,10 +1019,11 @@ def knn_ivf_join(
     Shuffle budget per BATCH (not per query): the probe rows
     (|queries| x n_probe key-vector rows) + the live index rows, both
     hashed on (cid, salt). The index-side exchange is the price of an
-    unbucketed parquet scan; the per-list matmul + partial top-k and
-    the final window are the same exact machinery as ``knn_ivf``
-    (results identical to it given the same quantizer — the basis of
-    the harness oracle).
+    unbucketed parquet scan — ``build_ivf_table``/``knn_ivf_join_table``
+    is the catalog-bucketed variant that drops it (plan-audited); the
+    per-list matmul + partial top-k and the final window are the same
+    exact machinery as ``knn_ivf`` (results identical to it given the
+    same quantizer — the basis of the harness oracle).
 
     prune_scan=True additionally computes the distinct probed cids
     (one cheap extra pass over the queries) and partition-prunes the

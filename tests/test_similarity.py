@@ -457,3 +457,43 @@ def test_ivf_index_maintenance_lifecycle(spark, vectors, tmp_path):
     # tombstones cleared by the compact
     import os
     assert not os.path.exists(os.path.join(idx, "_tombstones"))
+
+
+def test_knn_ivf_join_table_bucketed_zero_corpus_exchange(spark, vectors, tmp_path):
+    """build_ivf_table (catalog-known bucketBy(cid) — the similarity
+    tier's K1): knn_ivf_join_table returns exactly knn_ivf_join's rows
+    while the corpus side of the cogroup reads STRAIGHT off its
+    buckets — the executed plan has no Exchange between the bucketed
+    FileScan and the cogroup (only the probe rows and the final
+    window shuffle)."""
+    from linkgraph.functions.similarity import (
+        build_ivf_index, build_ivf_table, knn_ivf_join, knn_ivf_join_table)
+
+    spark.sql("DROP TABLE IF EXISTS t_ivf_sim")
+    spark.sql("DROP TABLE IF EXISTS t_ivf_sim_centroids")
+    cents = build_ivf_table(
+        vectors, "t_ivf_sim", str(tmp_path / "ivf_tbl"), n_centroids=4)
+    idx = str(tmp_path / "ivf_path")
+    build_ivf_index(vectors, idx, centroids=cents)
+
+    got = knn_ivf_join_table(spark, "t_ivf_sim", vectors, k=3, n_probe=4)
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+            knn_ivf_join(spark, idx, vectors, k=3, n_probe=4).collect()}
+    assert {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+            for r in got.collect()} == want
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # corpus subtree = between the cogroup node and its first child
+    # boundary; simpler robust check: exactly the probe-side cid
+    # exchange and the window's query_id exchange exist, nothing else
+    import re
+    keys = [m.group(1) for m in
+            re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)]
+    assert set(keys) == {"cid", "query_id"}, keys
+    # and the corpus scan feeds a partition-local Sort, not an Exchange
+    corpus_seg = plan[plan.index("FlatMapCoGroupsInArrow"):]
+    corpus_seg = corpus_seg[:corpus_seg.index("FileScan")]
+    assert "Exchange" not in corpus_seg
+    spark.sql("DROP TABLE t_ivf_sim")
+    spark.sql("DROP TABLE t_ivf_sim_centroids")

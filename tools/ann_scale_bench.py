@@ -93,7 +93,11 @@ def _probe(cores: int) -> None:
         extra_conf={"spark.driver.memory": "48g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    from linkgraph.functions.similarity import build_ivf_index, knn_ivf_indexed
+    from linkgraph.functions.similarity import (
+        build_ivf_index,
+        knn_ivf_indexed,
+        knn_ivf_join,
+    )
 
     with open(CENTS) as f:
         cents = [(int(cid), ce) for cid, ce in json.load(f)]
@@ -109,7 +113,8 @@ def _probe(cores: int) -> None:
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("nv"),
     ).withColumn("cid", assign_udf(F.col("nv")))
-    assign_walls, build_walls, query_walls, rows = [], [], [], 0
+    assign_walls, build_walls, query_walls, join_walls = [], [], [], []
+    rows = jrows = 0
     for _ in range(2):  # two in-JVM runs per phase, min (warmup guard)
         # assignment only, noop sink: the CPU-bound scalable kernel,
         # isolated from the disk-bandwidth-bound partitioned write
@@ -124,12 +129,22 @@ def _probe(cores: int) -> None:
             spark, idx, queries, k=K, n_probe=N_PROBE
         ).count()
         query_walls.append(time.perf_counter() - t0)
+        # distributed JOIN path (round 5): same batch, nothing
+        # collected — queries quantize distributed and cogroup against
+        # the index lists (the corpus-vs-corpus shape; pays one corpus
+        # exchange instead of the driver batch cap)
+        t0 = time.perf_counter()
+        jrows = knn_ivf_join(
+            spark, idx, queries, k=K, n_probe=N_PROBE
+        ).count()
+        join_walls.append(time.perf_counter() - t0)
     print(json.dumps({
         "cores": cores, "n_vectors": n_vectors, "n_queries": n_queries,
-        "result_rows": rows,
+        "result_rows": rows, "join_rows": jrows,
         "assign_sec": round(min(assign_walls), 2),
         "build_sec": round(min(build_walls), 2),
         "query_sec": round(min(query_walls), 2),
+        "join_sec": round(min(join_walls), 2),
         "assign_vectors_per_sec": round(n_vectors / min(assign_walls), 1),
     }))
 
@@ -158,14 +173,18 @@ def main() -> None:
     a2, a8, a32 = (results[c]["assign_sec"] for c in (2, 8, 32))
     b2, b8, b32 = (results[c]["build_sec"] for c in (2, 8, 32))
     q2, q8, q32 = (results[c]["query_sec"] for c in (2, 8, 32))
+    j2, j8, j32 = (results[c]["join_sec"] for c in (2, 8, 32))
     eff_2_8 = round(a2 / a8 / 4.0, 3)
     eff_8_32 = round(a8 / a32 / 4.0, 3)
-    rows = {results[c]["result_rows"] for c in (2, 8, 32)}
+    rows = {results[c]["result_rows"] for c in (2, 8, 32)} | {
+        results[c]["join_rows"] for c in (2, 8, 32)
+    }
     summary = {
         "metric": f"ivf index assign/build/query ({results[32]['n_vectors']:,} vectors)",
         "assign_walls": {c: results[c]["assign_sec"] for c in (2, 8, 32)},
         "build_walls": {c: results[c]["build_sec"] for c in (2, 8, 32)},
         "query_walls": {c: results[c]["query_sec"] for c in (2, 8, 32)},
+        "join_walls": {c: results[c]["join_sec"] for c in (2, 8, 32)},
         "result_rows": results[32]["result_rows"],
         "rows_identical_across_levels": len(rows) == 1,
         "assign_efficiency_2_to_8": eff_2_8,
@@ -192,11 +211,11 @@ shuffle: queries ship in the mapInArrow closure, each Arrow batch
 reranks in one BLAS matmul, partial top-k rows leave the worker).
 Two in-JVM runs per phase per level, min taken:
 
-| cores | assign (s) | assign vec/s | build (s) | query batch (s) |
-|---|---|---|---|---|
-| 2 | {a2} | {results[2]["assign_vectors_per_sec"]:,} | {b2} | {q2} |
-| 8 | {a8} | {results[8]["assign_vectors_per_sec"]:,} | {b8} | {q8} |
-| 32 | {a32} | {results[32]["assign_vectors_per_sec"]:,} | {b32} | {q32} |
+| cores | assign (s) | assign vec/s | build (s) | query batch (s) | join batch (s) |
+|---|---|---|---|---|---|
+| 2 | {a2} | {results[2]["assign_vectors_per_sec"]:,} | {b2} | {q2} | {j2} |
+| 8 | {a8} | {results[8]["assign_vectors_per_sec"]:,} | {b8} | {q8} | {j8} |
+| 32 | {a32} | {results[32]["assign_vectors_per_sec"]:,} | {b32} | {q32} | {j32} |
 
 North-rule pair local[2] -> local[8] on the corpus-scan-bound ASSIGN:
 speedup {round(a2 / a8, 2)}x, efficiency **{eff_2_8}**; 8 -> 32:
@@ -207,10 +226,14 @@ oflag=direct) — a fixed I/O floor no core count removes locally and
 exactly what a cluster's per-node disks parallelize; reported as
 absolutes, not scaling evidence. QUERY (shuffle-free) also scales
 monotonically: 2 -> 8 {round(q2 / q8, 2)}x, 8 -> 32
-{round(q8 / q32, 2)}x. {results[32]["result_rows"]:,} result rows,
-identical at every level (deterministic operator — the scaling runs
-double as an equality check:
-{summary["rows_identical_across_levels"]}).
+{round(q8 / q32, 2)}x. JOIN = the round-5 distributed query join
+(knn_ivf_join: same batch, nothing collected, one corpus exchange +
+cogrouped per-list rerank with hot-list splitting armed — the
+corpus-vs-corpus shape): 2 -> 8 {round(j2 / j8, 2)}x, 8 -> 32
+{round(j8 / j32, 2)}x. {results[32]["result_rows"]:,} result rows,
+identical at every level AND between the serving and join paths
+(deterministic operators — the scaling runs double as an equality
+check: {summary["rows_identical_across_levels"]}).
 """
     with open(path, "w") as f:
         f.write(replace_section(old, MARK, section))

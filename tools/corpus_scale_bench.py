@@ -115,7 +115,7 @@ def main() -> None:
     eff_2_8 = round(t2 / t8 / 4.0, 3)
     eff_8_32 = round(t8 / t32 / 4.0, 3)
     summary = {
-        "metric": "minhash-lsh near-dup wall (200k docs)",
+        "metric": f"minhash-lsh near-dup wall ({results[32]['n_docs']:,} docs)",
         "walls": {c: results[c]["wall_sec"] for c in (2, 8, 32)},
         "pairs": results[32]["pairs"],
         "efficiency_2_to_8": eff_2_8,
