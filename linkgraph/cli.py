@@ -93,6 +93,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="ignore an existing per-phase checkpoint and start fresh",
     )
+    sp.add_argument(
+        "--write-trees",
+        action="store_true",
+        help="persist each phase's dendrogram under "
+        "<checkpoint-dir>/trees/ts={t}_phase={p} (the per-timestep "
+        "graph{t}.tree analog); requires --checkpoint-dir",
+    )
 
     sp = sub.add_parser(
         "ann",
@@ -431,6 +438,7 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             screening=not args.no_screening,
             resume=not args.no_resume,
+            write_trees=args.write_trees,
         )
         run.state.write.mode("overwrite").parquet(f"{args.output}/state")
         run.edges.write.mode("overwrite").parquet(f"{args.output}/edges")

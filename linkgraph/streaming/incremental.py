@@ -122,6 +122,37 @@ def _save_phase_state(
         json.dump({"ts": int(ts), "phase": phase, "state_path": path, "q": q}, f)
 
 
+def _save_phase_tree(
+    checkpoint_dir: str, hierarchy: DataFrame, ts: int, phase: str
+) -> None:
+    """K2 dendrogram sink for the dynamic loop: the reference driver
+    writes one ``graph{t}.tree`` per timestep (main_louvain.cpp:1243);
+    we persist each phase's hierarchy (level, node, community) under
+    the checkpoint dir, partitioned by level. Overwrite (not append)
+    keyed by (ts, phase) so a resumed run that replays a phase cannot
+    double its rows."""
+    (
+        hierarchy.write.mode("overwrite")
+        .partitionBy("level")
+        .parquet(os.path.join(checkpoint_dir, "trees", f"ts={ts}_phase={phase}"))
+    )
+
+
+def load_tree(
+    spark: SparkSession, checkpoint_dir: str, ts: int, phase: str
+) -> DataFrame:
+    """Read one phase's persisted dendrogram back as
+    (level, node, community) — ``flatten_hierarchy`` of this equals the
+    phase's carried state (read-back contract, test_dynamic)."""
+    df = spark.read.parquet(
+        os.path.join(checkpoint_dir, "trees", f"ts={ts}_phase={phase}")
+    )
+    return df.select(
+        F.col("level").cast("int"), F.col("node").cast("long"),
+        F.col("community").cast("long"),
+    )
+
+
 def load_incremental_checkpoint(
     spark: SparkSession, checkpoint_dir: str
 ) -> tuple[DataFrame, int, str, float] | None:
@@ -147,6 +178,7 @@ def run_incremental(
     broadcast_threshold: int = 5_000_000,
     salt_hubs: bool | None = None,
     pre_partitioned: bool = False,
+    write_trees: bool = False,
 ) -> IncrementalRun:
     """base_edges: symmetric weighted table (build_graph output).
     deltas: (ts:int, op:'add'|'del', src, dst[, weight]).
@@ -174,7 +206,17 @@ def run_incremental(
     pre_partitioned=True: base_edges is already hash(src)-partitioned
     (the K1 bucketed-table read) — the loop's one-time repartition is
     skipped; the invariant below then holds from the first barrier.
+
+    write_trees=True (requires checkpoint_dir): persist each phase's
+    dendrogram under ``<checkpoint_dir>/trees/ts={t}_phase={p}`` — the
+    per-timestep ``graph{t}.tree`` analog (main_louvain.cpp:1243). A
+    phase whose frontier is empty (Louvain skipped, partition copied
+    forward) gets the trivial one-level tree of the carried state, so
+    every (ts, phase) directory exists and flattens to that phase's
+    labels.
     """
+    if write_trees and not checkpoint_dir:
+        raise ValueError("write_trees requires checkpoint_dir")
     # carried-graph invariant: every edge version is normalized,
     # hash(src)-partitioned at the session partition count, and
     # materialized — so EVERY louvain call (static and warm) runs
@@ -216,6 +258,8 @@ def run_incremental(
         if checkpoint_dir:
             _persist_metrics(spark, checkpoint_dir, metrics[0], res.metrics)
             _save_phase_state(spark, checkpoint_dir, state, -1, "static", q)
+            if write_trees:
+                _save_phase_tree(checkpoint_dir, res.hierarchy, -1, "static")
 
     ts_list = [r.ts for r in deltas.select("ts").distinct().orderBy("ts").collect()]
     for ts in ts_list:
@@ -267,6 +311,7 @@ def run_incremental(
             n = verts.count()
             r_size = r.count()
             phase_louvain: list[dict] = []
+            phase_tree: DataFrame | None = None
             if r_size > 0:
                 res = louvain(
                     spark,
@@ -289,6 +334,7 @@ def run_incremental(
                 state = barrier(res.assignment)
                 q = res.modularity
                 phase_louvain = res.metrics
+                phase_tree = res.hierarchy
             edges = new_edges
             metrics.append(
                 {
@@ -302,4 +348,15 @@ def run_incremental(
             if checkpoint_dir:
                 _persist_metrics(spark, checkpoint_dir, metrics[-1], phase_louvain)
                 _save_phase_state(spark, checkpoint_dir, state, ts, phase, q)
+                if write_trees:
+                    if phase_tree is None:
+                        # frontier empty — the partition was copied
+                        # forward; the step's tree is the one-level
+                        # identity of that carried state
+                        phase_tree = state.select(
+                            F.lit(0).alias("level"),
+                            F.col("id").alias("node"),
+                            "community",
+                        )
+                    _save_phase_tree(checkpoint_dir, phase_tree, ts, phase)
     return IncrementalRun(state=state, edges=edges, modularity=q, metrics=metrics)

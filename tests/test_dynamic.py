@@ -233,3 +233,38 @@ def test_incremental_pre_partitioned_input_matches(spark):
     assert [(m["ts"], m["phase"], m["r_size"]) for m in plain.metrics] == [
         (m["ts"], m["phase"], m["r_size"]) for m in part.metrics
     ]
+
+
+def test_incremental_write_trees_readback(spark, tmp_path):
+    """K2 for the dynamic loop (VERDICT r4 #8; main_louvain.cpp:1243
+    writes graph{t}.tree per step): write_trees=True persists one
+    dendrogram per completed phase under <ckpt>/trees, and composing
+    ANY phase's flattened labels reproduces exactly that phase's
+    persisted state — including phases whose frontier was empty
+    (identity tree of the carried partition)."""
+    from linkgraph.graph.hierarchy import flatten_hierarchy
+    from linkgraph.streaming.incremental import load_tree
+
+    ckpt = str(tmp_path / "ckpt")
+    g = build_graph(toy_edges_df(spark))
+    run = run_incremental(
+        spark, g, toy_deltas_df(spark), checkpoint_dir=ckpt, write_trees=True
+    )
+    assert run.metrics[0]["phase"] == "static"
+    for m in run.metrics:
+        ts = -1 if m["phase"] == "static" else m["ts"]
+        tree = load_tree(spark, ckpt, ts, m["phase"])
+        flat = {
+            (r.node, r.community) for r in flatten_hierarchy(tree).collect()
+        }
+        state = {
+            (r.id, r.community)
+            for r in spark.read.parquet(
+                f"{ckpt}/incremental_state/ts={ts}_phase={m['phase']}"
+            ).collect()
+        }
+        assert flat == state, (ts, m["phase"])
+
+    # write_trees without a checkpoint dir is a contract violation
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        run_incremental(spark, g, toy_deltas_df(spark), write_trees=True)

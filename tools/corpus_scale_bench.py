@@ -101,8 +101,22 @@ def main() -> None:
     if not os.path.exists(os.path.join(DOCS, "_SUCCESS")):
         _generate(n_docs)
 
+    # Per-level results are cached on disk so a killed orchestration
+    # resumes where it stopped (each probe is ~10-40 min at 2M docs) —
+    # a cached level is only reused if it measured the same doc count.
+    cache = DOCS + "_results.json"
     results = {}
+    if os.path.exists(cache):
+        with open(cache) as f:
+            results = {
+                int(c): r
+                for c, r in json.load(f).items()
+                if r["n_docs"] == n_docs
+            }
     for cores in (32, 8, 2):
+        if cores in results:
+            print(json.dumps(results[cores]), "(cached)")
+            continue
         out = subprocess.run(
             [sys.executable, "tools/corpus_scale_bench.py", "--probe", str(cores)],
             capture_output=True, text=True, cwd=ROOT, check=True,
@@ -110,6 +124,8 @@ def main() -> None:
         line = out.stdout.strip().splitlines()[-1]
         results[cores] = json.loads(line)
         print(line)
+        with open(cache, "w") as f:
+            json.dump(results, f)
 
     t2, t8, t32 = (results[c]["wall_sec"] for c in (2, 8, 32))
     eff_2_8 = round(t2 / t8 / 4.0, 3)
