@@ -130,10 +130,16 @@ def main() -> None:
     t2, t8, t32 = (results[c]["wall_sec"] for c in (2, 8, 32))
     eff_2_8 = round(t2 / t8 / 4.0, 3)
     eff_8_32 = round(t8 / t32 / 4.0, 3)
+    # planted-dup recall: the generator plants one near-dup per 101
+    # docs (doc_id % 101 == 0, doc_id > 0 copies its predecessor), so
+    # the expected pair set has exactly (n_docs - 1) // 101 members
+    planted = (results[32]["n_docs"] - 1) // 101
     summary = {
         "metric": f"minhash-lsh near-dup wall ({results[32]['n_docs']:,} docs)",
         "walls": {c: results[c]["wall_sec"] for c in (2, 8, 32)},
         "pairs": results[32]["pairs"],
+        "planted_pairs": planted,
+        "recall_exact": results[32]["pairs"] == planted,
         "efficiency_2_to_8": eff_2_8,
         "efficiency_8_to_32": eff_8_32,
     }
@@ -163,7 +169,9 @@ efficiency **{eff_2_8}**; 8 -> 32: {round(t8 / t32, 2)}x
 ({eff_8_32} — the same one-box bandwidth ceiling the PageRank probe
 documents). {results[32]["pairs"]:,} near-dup pairs found (identical
 at every level — the operator is deterministic, so the scaling runs
-double as an equality check).
+double as an equality check) — exactly the {planted:,} planted pairs
+((n_docs - 1) // 101 predecessor-copies): planted-dup recall at scale
+is {"100%" if summary["recall_exact"] else "NOT exact — investigate"}.
 """
     with open(path, "w") as f:
         f.write(replace_section(old, MARK, section))
