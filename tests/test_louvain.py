@@ -153,7 +153,9 @@ def test_local_fastpath_identical_to_distributed(spark):
     a = {r["id"]: r["community"] for r in fast.assignment.collect()}
     b = {r["id"]: r["community"] for r in slow.assignment.collect()}
     assert a == b
-    assert fast.modularity == slow.modularity
+    # float scalar: Observation partials sum in task-arrival order, so
+    # bitwise equality is not guaranteed even between identical runs
+    assert fast.modularity == pytest.approx(slow.modularity, rel=1e-12, abs=1e-12)
     assert fast.levels == slow.levels
     ha = sorted(
         (r["level"], r["node"], r["community"]) for r in fast.hierarchy.collect()
@@ -165,7 +167,9 @@ def test_local_fastpath_identical_to_distributed(spark):
     # metric trail agrees on the measured (level, round, q) sequence
     ma = [(x["level"], x["round"], x["q"]) for x in fast.metrics if "round" in x]
     mb = [(x["level"], x["round"], x["q"]) for x in slow.metrics if "round" in x]
-    assert ma == mb
+    assert [(lv, rd) for lv, rd, _ in ma] == [(lv, rd) for lv, rd, _ in mb]
+    for (_, _, qa), (_, _, qb) in zip(ma, mb):
+        assert qa == pytest.approx(qb, rel=1e-12, abs=1e-12)
     # and both match the independent NumPy oracle
     rows = [(r["src"], r["dst"], r["weight"]) for r in edges.collect()]
     want, q_want, lv_want = louvain_oracle(rows)
@@ -175,6 +179,6 @@ def test_local_fastpath_identical_to_distributed(spark):
     # level distributed (same result), without touching local_threshold
     capped = louvain(spark, edges, local_edge_cap=0)
     assert {r["id"]: r["community"] for r in capped.assignment.collect()} == a
-    assert capped.modularity == fast.modularity
+    assert capped.modularity == pytest.approx(fast.modularity, rel=1e-12, abs=1e-12)
     assert capped.levels == fast.levels
     assert F is not None

@@ -128,7 +128,7 @@ def test_generalized_big_path_labels_match_broadcast(spark):
     la = {r.id: r.community for r in a.assignment.collect()}
     lb = {r.id: r.community for r in b.assignment.collect()}
     assert la == lb
-    assert a.quality == b.quality
+    assert a.quality == pytest.approx(b.quality, rel=1e-12, abs=1e-12)
 
 
 _LOCAL_QIDS = list(range(10)) if os.environ.get("LINKGRAPH_SLOW") else [0, 3, 8, 9]
@@ -137,10 +137,13 @@ _LOCAL_QIDS = list(range(10)) if os.environ.get("LINKGRAPH_SLOW") else [0, 3, 8,
 @pytest.mark.parametrize("qid", _LOCAL_QIDS)
 def test_generalized_local_fastpath_identical(spark, qid):
     """The small-quotient local fast path (default on, kicks in at
-    level 1) must be BYTE-IDENTICAL to the pure distributed loop
-    (local_threshold=0) — labels, quality, level count, and per-round
-    move counts (the integer-weight exactness argument in
-    operators/louvain_quality_local.py)."""
+    level 1) must make IDENTICAL decisions to the pure distributed
+    loop (local_threshold=0) — labels, level count, and per-round move
+    counts exactly (the integer decision-algebra argument in
+    operators/louvain_quality_local.py). The quality SCALARS are
+    compared to 1e-12, not bitwise: quality_value is a single-group
+    float Sum whose partials merge in task-arrival order, so even two
+    identical distributed runs can differ in the last ulp."""
     from tests.fixtures import random_edges
 
     df = spark.createDataFrame(
@@ -154,7 +157,7 @@ def test_generalized_local_fastpath_identical(spark, qid):
     la = {r.id: r.community for r in a.assignment.collect()}
     lb = {r.id: r.community for r in b.assignment.collect()}
     assert la == lb
-    assert a.quality == b.quality  # bit-equal, not approx
+    assert a.quality == pytest.approx(b.quality, rel=1e-12, abs=1e-12)
     assert a.levels == b.levels
     moves_a = [(m["level"], m["round"], m["moves"])
                for m in a.metrics if "moves" in m]
@@ -163,7 +166,9 @@ def test_generalized_local_fastpath_identical(spark, qid):
     assert moves_a == moves_b
     quals_a = [(m["level"], m["quality"]) for m in a.metrics if "quality" in m]
     quals_b = [(m["level"], m["quality"]) for m in b.metrics if "quality" in m]
-    assert quals_a == quals_b
+    assert [lv for lv, _ in quals_a] == [lv for lv, _ in quals_b]
+    for (_, xa), (_, xb) in zip(quals_a, quals_b):
+        assert xa == pytest.approx(xb, rel=1e-12, abs=1e-12)
     # the fast path actually engaged: level-1+ rounds ran locally, so
     # the default run must have been faster to produce... assert via
     # levels: both ran >1 level (otherwise this test is vacuous)
