@@ -158,7 +158,16 @@ def main(argv: list[str] | None = None) -> int:
         "vector batch (frozen quantizer, generation-stamped), tombstone "
         "ids, or compact to live rows",
     )
-    sp.add_argument("--index", required=True)
+    sp.add_argument(
+        "--index", help="cid-partitioned path index written by ann-index"
+    )
+    sp.add_argument(
+        "--table",
+        help="maintained BUCKETED catalog table (build_ivf_table) "
+        "instead of --index: appends land in a <table>_delta companion "
+        "(merge-on-read; V1 buckets are immutable), compact folds the "
+        "delta + tombstones back into the buckets",
+    )
     sp.add_argument("--add", help="parquet (vec_id, embedding) to append")
     sp.add_argument(
         "--replace",
@@ -223,24 +232,40 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "ann-index-maintain":
-        from linkgraph.functions.similarity import (
-            ivf_index_compact,
-            ivf_index_delete,
-            ivf_index_upsert,
-        )
+        from linkgraph.functions import similarity as sim
 
-        out: dict = {"index": args.index}
+        if bool(args.index) == bool(args.table):
+            print(
+                "error: ann-index-maintain needs exactly one of "
+                "--index or --table",
+                file=sys.stderr,
+            )
+            return 2
+        if args.index:
+            target, upsert, delete, compact = (
+                args.index,
+                lambda df, rep: sim.ivf_index_upsert(
+                    spark, args.index, df, replace=rep
+                ),
+                lambda df: sim.ivf_index_delete(spark, args.index, df),
+                lambda: sim.ivf_index_compact(spark, args.index),
+            )
+        else:
+            target, upsert, delete, compact = (
+                args.table,
+                lambda df, rep: sim.ivf_table_upsert(
+                    spark, args.table, df, replace=rep
+                ),
+                lambda df: sim.ivf_table_delete(spark, args.table, df),
+                lambda: sim.ivf_table_compact(spark, args.table),
+            )
+        out: dict = {"index": target}
         if args.add:
-            out["gen"] = ivf_index_upsert(
-                spark, args.index, spark.read.parquet(args.add),
-                replace=args.replace,
-            )
+            out["gen"] = upsert(spark.read.parquet(args.add), args.replace)
         if args.delete:
-            out["tombstoned"] = ivf_index_delete(
-                spark, args.index, spark.read.parquet(args.delete)
-            )
+            out["tombstoned"] = delete(spark.read.parquet(args.delete))
         if args.compact:
-            out["live_rows"] = ivf_index_compact(spark, args.index)
+            out["live_rows"] = compact()
         if len(out) == 1:
             print(
                 "error: ann-index-maintain needs --add, --delete "

@@ -801,6 +801,74 @@ def build_ivf_table(
     return centroids
 
 
+def _table_location(spark, table: str) -> str:
+    """Filesystem location of a catalog table (DESC FORMATTED)."""
+    desc = {
+        str(r["col_name"]).strip(): str(r["data_type"]).strip()
+        for r in spark.sql(f"DESC FORMATTED {table}").collect()
+    }
+    path = desc["Location"]
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _companion_write(spark, table: str, suffix: str, df: DataFrame) -> None:
+    """Append rows to a companion table ``<table><suffix>`` stored
+    NEXT TO the main table's files (``<location><suffix>``) — explicit
+    paths keep the layout self-contained and survive the in-memory
+    catalog's session scope (a fresh session re-registers from the
+    files; a managed table would orphan its warehouse dir instead)."""
+    loc = _table_location(spark, table).rstrip("/") + suffix
+    df.write.mode("append").option("path", loc).saveAsTable(table + suffix)
+
+
+def _drop_companion(spark, table: str, suffix: str) -> None:
+    """Drop a companion table AND its files (external tables keep
+    their files on DROP, which would resurrect stale rows when a later
+    upsert re-creates the companion at the same path)."""
+    loc = _table_location(spark, table).rstrip("/") + suffix
+    spark.sql(f"DROP TABLE IF EXISTS {table}{suffix}")
+    fs, jpath = _fs_for(spark, loc)
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
+
+
+def _table_gen(spark, table: str) -> int:
+    """Current generation of a maintained ``build_ivf_table`` — max row
+    of the ``<table>_meta`` companion (0 if never upserted). In a
+    catalog world metadata lives in tables, not sidecar files."""
+    if not spark.catalog.tableExists(table + "_meta"):
+        return 0
+    row = spark.table(table + "_meta").agg(F.max("gen").alias("g")).first()
+    return int(row["g"] or 0)
+
+
+def _table_tombstone_cut(spark, table: str) -> DataFrame | None:
+    """(t_id, t_cut) per tombstoned id of a maintained bucketed table,
+    or None. Same gen-cut semantics as the path index: a row is dead
+    iff some tombstone covers its id at-or-after its generation."""
+    if not spark.catalog.tableExists(table + "_tombstones"):
+        return None
+    return (
+        spark.table(table + "_tombstones")
+        .groupBy(F.col("id").alias("t_id"))
+        .agg(F.max("gen_cut").alias("t_cut"))
+    )
+
+
+def _apply_tombstone_cut(v: DataFrame, cut: DataFrame | None) -> DataFrame:
+    """Filter dead rows via a BROADCAST left join (gen <= cut ⇒ dead).
+    A broadcast join streams the big side, so the bucketed scan's
+    HashPartitioning(cid) survives — the main cogroup stays
+    exchange-free even while tombstones are live (plan-audited)."""
+    if cut is None:
+        return v
+    return (
+        v.join(F.broadcast(cut), v.neighbor_id == F.col("t_id"), "left")
+        .filter(F.col("t_cut").isNull() | (F.col("gen") > F.col("t_cut")))
+        .drop("t_id", "t_cut")
+    )
+
+
 def knn_ivf_join_table(
     spark,
     table: str,
@@ -816,6 +884,19 @@ def knn_ivf_join_table(
     scan's HashPartitioning(cid) satisfies the cogroup's clustering);
     only the probe rows shuffle. Results identical to ``knn_ivf_join``
     /``knn_ivf`` with the same quantizer.
+
+    MERGE-ON-READ: if the table has been maintained with
+    ``ivf_table_upsert``/``ivf_table_delete``, the delta rows are
+    cogrouped SEPARATELY against the same probe rows and only the two
+    sides' partial top-k rows union before the global window — a Union
+    of the bucketed scan with the delta would erase the scan's
+    HashPartitioning and re-shuffle the whole corpus (Spark's Union
+    reports no output partitioning), while the top-k of per-side
+    partial top-ks is exact under the same (sim desc, id asc) order.
+    Tombstones apply to each side as a broadcast anti-filter, which
+    preserves the bucketed side's partitioning (plan-audited in
+    tests). This is the Iceberg merge-on-read shape: immutable base
+    files + small delta + delete set, compacted by ``ivf_table_compact``.
 
     hot_list_cap defaults to None here: salting rewrites the grouping
     key to (cid, salt), which discards the bucketing advantage — on a
@@ -834,8 +915,19 @@ def knn_ivf_join_table(
     ).select(
         "query_id", "qv", F.explode(probes_udf(F.col("qv"))).alias("cid")
     )
-    v = spark.table(table).select("neighbor_id", "nv", "cid")
+    cut = _table_tombstone_cut(spark, table)
+    v = _apply_tombstone_cut(
+        spark.table(table)
+        .select("neighbor_id", "nv", "cid")
+        .withColumn("gen", F.lit(0).cast("long")),
+        cut,
+    ).select("neighbor_id", "nv", "cid")
     scored = _cogroup_rerank(v, q, k, hot_list_cap)
+    if spark.catalog.tableExists(table + "_delta"):
+        d = _apply_tombstone_cut(spark.table(table + "_delta"), cut).select(
+            "neighbor_id", "nv", "cid"
+        )
+        scored = scored.unionByName(_cogroup_rerank(d, q, k, hot_list_cap))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
@@ -844,6 +936,121 @@ def knn_ivf_join_table(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def ivf_table_upsert(
+    spark,
+    table: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    replace: bool = False,
+) -> int:
+    """Append a vector batch to a ``build_ivf_table`` bucketed layout
+    WITHOUT rewriting the buckets. Spark cannot append into V1 buckets
+    (the round-4 known gap), so maintenance is merge-on-read: the batch
+    is assigned with the companion ``<table>_centroids`` quantizer
+    (frozen — same contract as ``ivf_index_upsert``) and appended to a
+    small ``<table>_delta`` companion table, generation-stamped;
+    ``knn_ivf_join_table`` cogroups the delta separately and unions
+    partial top-ks, so the bucketed main side stays exchange-free.
+    replace=True tombstones the incoming ids at the previous generation
+    FIRST (crash between the writes under-serves, never double-serves).
+    Returns the new generation. Compact with ``ivf_table_compact`` when
+    the delta or tombstone set has grown past broadcast comfort."""
+    centroids = [
+        (int(r["cid"]), list(r["ce"]))
+        for r in spark.table(table + "_centroids").collect()
+    ]
+    centroids.sort(key=lambda t: t[0])
+    gen = _table_gen(spark, table) + 1
+    assign_udf, _ = _np_quantizer_udfs(centroids, 1)
+    v = (
+        vectors.select(
+            F.col(id_col).cast("long").alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        )
+        .withColumn("cid", assign_udf(F.col("nv")))
+        .withColumn("gen", F.lit(gen).cast("long"))
+    )
+    if replace:
+        _companion_write(
+            spark,
+            table,
+            "_tombstones",
+            vectors.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.lit(gen - 1).cast("long").alias("gen_cut"),
+            ).coalesce(1),
+        )
+    _companion_write(spark, table, "_delta", v)
+    _companion_write(
+        spark, table, "_meta", spark.createDataFrame([(gen,)], "gen long")
+    )
+    return gen
+
+
+def ivf_table_delete(spark, table: str, ids) -> int:
+    """Tombstone ids in a ``build_ivf_table`` layout — no bucket files
+    are touched; both the buckets and the delta are filtered at read
+    time. The cut is the current generation, so later re-adds of the
+    same id (higher gen) survive. Returns the tombstoned-id count."""
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(int(i),) for i in ids], "id long")
+    gen = _table_gen(spark, table)
+    first = ids.columns[0]
+    out = ids.select(
+        F.col(first).cast("long").alias("id"),
+        F.lit(gen).cast("long").alias("gen_cut"),
+    )
+    _companion_write(spark, table, "_tombstones", out.coalesce(1))
+    return out.count()
+
+
+def ivf_table_compact(spark, table: str) -> int:
+    """Fold a maintained table's delta + tombstones back into the
+    buckets: stage the live rows (tombstone-filtered main ∪ delta) to
+    parquet, rewrite the bucketed table from the staging copy (a
+    bucketed table cannot be rewritten from a plan that reads itself),
+    drop the delta/tombstone companions. With a real metastore/Iceberg
+    catalog this is the rewrite-data-files action; the generation
+    counter persists so replace/delete semantics continue seamlessly.
+    Returns the live row count."""
+    desc = {
+        str(r["col_name"]).strip(): str(r["data_type"]).strip()
+        for r in spark.sql(f"DESC FORMATTED {table}").collect()
+    }
+    path = _table_location(spark, table)
+    num_buckets = int(desc["Num Buckets"])
+    cut = _table_tombstone_cut(spark, table)
+    live = _apply_tombstone_cut(
+        spark.table(table)
+        .select("neighbor_id", "nv", "cid")
+        .withColumn("gen", F.lit(0).cast("long")),
+        cut,
+    ).select("neighbor_id", "nv", "cid")
+    if spark.catalog.tableExists(table + "_delta"):
+        live = live.unionByName(
+            _apply_tombstone_cut(
+                spark.table(table + "_delta"), cut
+            ).select("neighbor_id", "nv", "cid")
+        )
+    staging = path.rstrip("/") + ".compact-staging"
+    live.write.mode("overwrite").parquet(staging)
+    (
+        spark.read.parquet(staging)
+        .repartition(num_buckets, "cid")
+        .write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, "cid")
+        .saveAsTable(table)
+    )
+    n = spark.table(table).count()
+    for companion in ("_delta", "_tombstones"):
+        _drop_companion(spark, table, companion)
+    fs, jstaging = _fs_for(spark, staging)
+    fs.delete(jstaging, True)
+    return n
 
 
 def _read_index_meta(spark, index_path: str) -> dict:

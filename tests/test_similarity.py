@@ -497,3 +497,115 @@ def test_knn_ivf_join_table_bucketed_zero_corpus_exchange(spark, vectors, tmp_pa
     assert "Exchange" not in corpus_seg
     spark.sql("DROP TABLE t_ivf_sim")
     spark.sql("DROP TABLE t_ivf_sim_centroids")
+
+
+def test_ivf_table_maintenance_merge_on_read(spark, vectors, tmp_path):
+    """Bucketed-table maintenance (the round-4 known gap): V1 buckets
+    cannot be appended, so upsert/delete are merge-on-read — a
+    generation-stamped delta companion + gen-cut tombstones, served by
+    knn_ivf_join_table as a SEPARATE cogroup whose partial top-ks
+    union before the global window. Every step is mirrored on a
+    path-based index with the SAME quantizer and asserted equal, so
+    the maintained bucketed table serves exactly the path index's live
+    set; compact folds everything back into the buckets and drops the
+    companions."""
+    from linkgraph.functions.similarity import (
+        build_ivf_index, build_ivf_table, ivf_index_delete,
+        ivf_index_upsert, ivf_table_compact, ivf_table_delete,
+        ivf_table_upsert, knn_ivf_join, knn_ivf_join_table)
+
+    for t in ("t_ivf_mnt", "t_ivf_mnt_centroids", "t_ivf_mnt_delta",
+              "t_ivf_mnt_tombstones", "t_ivf_mnt_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    cents = build_ivf_table(
+        vectors, "t_ivf_mnt", str(tmp_path / "ivf_mnt_tbl"), n_centroids=4)
+    idx = str(tmp_path / "ivf_mnt_path")
+    build_ivf_index(vectors, idx, centroids=cents)
+
+    def both_equal():
+        tbl = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+               knn_ivf_join_table(
+                   spark, "t_ivf_mnt", vectors, k=3, n_probe=4).collect()}
+        pth = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+               knn_ivf_join(spark, idx, vectors, k=3, n_probe=4).collect()}
+        assert tbl == pth
+        return tbl
+
+    base = both_equal()
+
+    rng = np.random.default_rng(23)
+    newv = spark.createDataFrame(
+        [(200 + i, rng.standard_normal(16).tolist()) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    assert ivf_table_upsert(spark, "t_ivf_mnt", newv) == 1
+    ivf_index_upsert(spark, idx, newv)
+    after_add = both_equal()
+    assert after_add != base  # the delta rows are actually served
+
+    # delete one bucketed-main id and one delta id
+    assert ivf_table_delete(spark, "t_ivf_mnt", [0, 200]) == 2
+    ivf_index_delete(spark, idx, [0, 200])
+    served = both_equal()
+    assert all(n not in (0, 200) for n, _ in served.values())
+
+    # replace-re-add id 0: survives its own earlier tombstone
+    re0 = vectors.filter(F.col("vec_id") == 0)
+    assert ivf_table_upsert(spark, "t_ivf_mnt", re0, replace=True) == 2
+    ivf_index_upsert(spark, idx, re0, replace=True)
+    with_re0 = both_equal()
+    assert any(n == 0 for n, _ in with_re0.values())
+
+    # compact: buckets hold exactly the live set, companions dropped,
+    # results byte-equal
+    n = ivf_table_compact(spark, "t_ivf_mnt")
+    assert n == 49  # 40 - 2 deleted + 10 added + 1 re-added
+    assert not spark.catalog.tableExists("t_ivf_mnt_delta")
+    assert not spark.catalog.tableExists("t_ivf_mnt_tombstones")
+    assert both_equal() == with_re0
+
+    # the compacted table is still bucketed and its corpus cogroup is
+    # still exchange-free
+    got = knn_ivf_join_table(spark, "t_ivf_mnt", vectors, k=3, n_probe=4)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    corpus_seg = plan[plan.index("FlatMapCoGroupsInArrow"):]
+    corpus_seg = corpus_seg[:corpus_seg.index("FileScan")]
+    assert "Exchange" not in corpus_seg
+    for t in ("t_ivf_mnt", "t_ivf_mnt_centroids", "t_ivf_mnt_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivf_table_tombstone_filter_keeps_buckets_exchange_free(
+        spark, vectors, tmp_path):
+    """Deletes alone must not cost the bucketed side its layout: the
+    tombstone cut applies as a BROADCAST left join, which streams the
+    bucketed scan and preserves HashPartitioning(cid) — the corpus
+    cogroup plans with no shuffle Exchange even while tombstones are
+    live (only the probe rows and the window shuffle)."""
+    import re
+
+    from linkgraph.functions.similarity import (
+        build_ivf_table, ivf_table_delete, knn_ivf_join_table)
+
+    for t in ("t_ivf_ts", "t_ivf_ts_centroids", "t_ivf_ts_delta",
+              "t_ivf_ts_tombstones", "t_ivf_ts_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_ivf_table(
+        vectors, "t_ivf_ts", str(tmp_path / "ivf_ts_tbl"), n_centroids=4)
+    ivf_table_delete(spark, "t_ivf_ts", [3, 7])
+
+    got = knn_ivf_join_table(spark, "t_ivf_ts", vectors, k=3, n_probe=4)
+    assert got.filter(F.col("neighbor_id").isin(3, 7)).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    keys = [m.group(1) for m in
+            re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)]
+    # probe-side cid, window query_id, and the tombstone-cut groupBy's
+    # own (tombstone-table-sized) id shuffle — never the corpus rows
+    assert set(keys) <= {"cid", "query_id", "id"}, keys
+    assert "BroadcastHashJoin" in plan
+    corpus_seg = plan[plan.index("FlatMapCoGroupsInArrow"):]
+    corpus_seg = corpus_seg[:corpus_seg.index("FileScan")]
+    assert "Exchange hashpartitioning" not in corpus_seg
+    for t in ("t_ivf_ts", "t_ivf_ts_centroids", "t_ivf_ts_tombstones",
+              "t_ivf_ts_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
