@@ -455,6 +455,55 @@ def _q_knn_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_ivf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read over the MAINTAINED bucketed IVF table
+    (functions/similarity.py::ivf_table_upsert/_delete +
+    knn_ivf_join_table): build the catalog table, append a shifted-id
+    batch (gen 1), tombstone vec_id % 41 == 0 (cut at gen 1), then
+    replace-re-add vec_id % 82 == 0 (gen 2 — survives the cut), and
+    query WITHOUT compacting, so the oracle certifies the read path
+    itself: bucketed base minus tombstones, plus the delta cogrouped
+    separately, partial top-ks unioned before the global window. The
+    oracle recomputes the live set from the same modular slices and
+    the quantizer from the table (no inlined constants)."""
+    import os
+    import tempfile
+
+    from linkgraph.functions.similarity import (
+        _fs_for,
+        build_ivf_table,
+        ivf_table_delete,
+        ivf_table_upsert,
+        knn_ivf_join_table,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tbl = "linkgraph_harness_ivf_mor"
+    path = os.path.join(tempfile.gettempdir(), tbl)
+    # idempotent rebuild: a prior run's companions would double-append
+    for sfx in ("", "_centroids", "_delta", "_tombstones", "_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}{sfx}")
+        fs, jp = _fs_for(spark, path + sfx)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+    build_ivf_table(emb, tbl, path, n_centroids=16)
+    ivf_table_upsert(
+        spark,
+        tbl,
+        emb.filter(F.col("vec_id") % 53 == 0).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        ),
+    )
+    ivf_table_delete(
+        spark, tbl, emb.filter(F.col("vec_id") % 41 == 0).select("vec_id")
+    )
+    ivf_table_upsert(
+        spark, tbl, emb.filter(F.col("vec_id") % 82 == 0), replace=True
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return knn_ivf_join_table(spark, tbl, queries, k=5, n_probe=4)
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (brute-force baseline —
     the exactness anchor for the LSH-bucketed scale path, certified by
@@ -564,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "knn_ivf_join": _q_knn_ivf_join,
+        "knn_ivf_mor": _q_knn_ivf_mor,
         "embedding_near_dup": _q_embedding_near_dup,
         "events_window_agg": _q_events_window_agg,
         "check_symmetry": _q_check_symmetry,
@@ -1260,6 +1310,73 @@ def _knn_ivf_sql(
     FROM ranked WHERE rank <= {k}"""
 
 
+def _knn_ivf_mor_sql(
+    n_centroids: int = 16, n_probe: int = 4, k: int = 5, dim: int = 64
+) -> str:
+    """knn_ivf_join_table over a MAINTAINED table (_q_knn_ivf_mor):
+    the corpus is the merge-on-read LIVE set — base rows minus the
+    vec_id % 41 tombstones, plus the shifted-id delta batch
+    (vec_id % 53, +10^7), plus the replace-re-added vec_id % 82 rows
+    whose generation outlives the cut — recomputed here from the same
+    modular slices. The quantizer is the BUILD-time one (derived from
+    the full base table, frozen across upserts), same derivation and
+    IEEE fold order as _knn_ivf_sql."""
+    vchain = " + ".join(
+        f"(l.e[{j}] - c.ce[{j}]) * (l.e[{j}] - c.ce[{j}])"
+        for j in range(1, dim + 1)
+    )
+    qchain = " + ".join(
+        f"(v.e[{j}] - c.ce[{j}]) * (v.e[{j}] - c.ce[{j}])"
+        for j in range(1, dim + 1)
+    )
+    return f"""WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (
+               ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) AS INT) AS cid,
+             e AS ce
+      FROM v
+      QUALIFY row_number() OVER (
+        ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) <= {n_centroids}
+    ), live AS (
+      SELECT vec_id, e FROM v WHERE vec_id % 41 <> 0
+      UNION ALL
+      SELECT vec_id + 10000000 AS vec_id, e FROM v WHERE vec_id % 53 = 0
+      UNION ALL
+      SELECT vec_id, e FROM v WHERE vec_id % 82 = 0
+    ), dists AS MATERIALIZED (
+      SELECT l.vec_id, l.e, c.cid, ({vchain}) AS d
+      FROM live l CROSS JOIN cent c
+    ), assigned AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), qdists AS MATERIALIZED (
+      SELECT v.vec_id, v.e, c.cid, ({qchain}) AS d
+      FROM v CROSS JOIN cent c WHERE v.vec_id % 50 = 0
+    ), probes AS (
+      SELECT vec_id AS query_id, e AS qe, cid FROM (
+        SELECT vec_id, e, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM qdists
+      ) WHERE rn <= {n_probe}
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qe, a.e), 6) AS sim
+      FROM assigned a JOIN probes p USING (cid)
+      WHERE a.vec_id <> p.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "graph_edges": f"WITH {EDGES_CTE} SELECT src, dst, weight FROM edges",
@@ -1268,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
             FROM edges GROUP BY src""",
         "pagerank_k8": _pagerank_sql(8),
         "knn_ivf_join": _knn_ivf_sql(16, 4, 5),
+        "knn_ivf_mor": _knn_ivf_mor_sql(16, 4, 5),
         "triangle_count": f"""WITH {EDGES_CTE},
             canon AS (
               SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
