@@ -391,6 +391,13 @@ def _split_hot_lists(
     return v, q, splits
 
 
+# per-task cap on the rerank sim-matrix size, in float64 CELLS
+# (queries-in-chunk x list rows): 2^23 = 64 MB per partial matrix —
+# large enough that the BLAS matmul stays throughput-bound, small
+# enough that 32 concurrent tasks hold ~2 GB of S between them.
+_RERANK_CHUNK_CELLS = 1 << 23
+
+
 def _cogroup_rerank(
     v: DataFrame, q: DataFrame, k: int, hot_list_cap: int | None = None
 ) -> DataFrame:
@@ -420,7 +427,11 @@ def _cogroup_rerank(
     v: (neighbor_id, nv, cid); q: (query_id, qv, cid) — returns
     (query_id, neighbor_id, sim) partial-top-k rows. hot_list_cap
     (rows): lists above it are split into salted sub-lists first
-    (``_split_hot_lists``); None disables (the pre-round-5 shape)."""
+    (``_split_hot_lists``); None disables (the pre-round-5 shape).
+    The kernel additionally chunks the QUERY side of each group to
+    ``_RERANK_CHUNK_CELLS`` sim-matrix cells (exact — top-k is per
+    query row), bounding task memory on the axis hot_list_cap does
+    not: a popular list probed by a large distributed query batch."""
     import pyarrow as pa
 
     keys = ["cid"]
@@ -443,12 +454,23 @@ def _cogroup_rerank(
         Q = _arrow_mat(qtab, "qv")
         nids = np.asarray(vtab.column("neighbor_id").combine_chunks())
         qids = np.asarray(qtab.column("query_id").combine_chunks())
-        S = np.round(
-            (Q / np.linalg.norm(Q, axis=1)[:, None])
-            @ (V / np.linalg.norm(V, axis=1)[:, None]).T,
-            6,
-        )
-        out_q, out_n, out_s = _topk_exact(S, nids, qids, k)
+        Qn = Q / np.linalg.norm(Q, axis=1)[:, None]
+        VnT = (V / np.linalg.norm(V, axis=1)[:, None]).T
+        # the sim matrix is (probing queries x list rows): a popular
+        # list probed by a large distributed query side (knn_ivf_join
+        # at >=10^6 query rows) would materialize it whole — 144 GiB
+        # observed at 1M queries x a 250k-row list. Chunk the QUERY
+        # side (exact: top-k is per query row) so each partial matrix
+        # stays ~_RERANK_CHUNK_CELLS doubles; hot_list_cap bounds the
+        # OTHER axis.
+        chunk = max(1, _RERANK_CHUNK_CELLS // max(len(nids), 1))
+        parts = []
+        for s in range(0, len(qids), chunk):
+            S = np.round(Qn[s : s + chunk] @ VnT, 6)
+            parts.append(_topk_exact(S, nids, qids[s : s + chunk], k))
+        out_q = np.concatenate([p[0] for p in parts])
+        out_n = np.concatenate([p[1] for p in parts])
+        out_s = np.concatenate([p[2] for p in parts])
         return pa.table(
             {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
         )

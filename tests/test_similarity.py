@@ -609,3 +609,23 @@ def test_ivf_table_tombstone_filter_keeps_buckets_exchange_free(
     for t in ("t_ivf_ts", "t_ivf_ts_centroids", "t_ivf_ts_tombstones",
               "t_ivf_ts_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_cogroup_rerank_query_chunking_exact(spark, vectors, tmp_path, monkeypatch):
+    """The cogrouped rerank chunks its QUERY side: a popular list
+    probed by a large distributed query batch (knn_ivf_join at >=10^6
+    query rows) must not materialize the full queries x list-rows sim
+    matrix in one task (144 GiB observed at 1M queries x a 250k-row
+    list before the fix). Forcing tiny chunks leaves results
+    byte-identical — top-k is computed per query row."""
+    import linkgraph.functions.similarity as sim
+
+    idx = str(tmp_path / "ivf_chunk")
+    sim.build_ivf_index(vectors, idx, n_centroids=4)
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+            sim.knn_ivf_join(spark, idx, vectors, k=3, n_probe=2).collect()}
+    # ~10-row lists -> 6-row query chunks: every group multi-chunks
+    monkeypatch.setattr(sim, "_RERANK_CHUNK_CELLS", 64)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+           sim.knn_ivf_join(spark, idx, vectors, k=3, n_probe=2).collect()}
+    assert got == want

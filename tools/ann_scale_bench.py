@@ -225,13 +225,25 @@ def main() -> None:
 
     # one-shot big-join entry at full parallelism (absolute number:
     # the >=1M-query corpus-vs-corpus shape; the scaling pair above is
-    # the assign kernel)
-    out = subprocess.run(
-        [sys.executable, "tools/ann_scale_bench.py", "--bigjoin", "32"],
-        capture_output=True, text=True, cwd=ROOT, check=True,
-    )
-    bigjoin = json.loads(out.stdout.strip().splitlines()[-1])
-    print(json.dumps(bigjoin))
+    # the assign kernel) — cached like the probes: a killed
+    # orchestration resumes without repaying the ~20-minute run
+    bj_cache = VECS + "_bigjoin.json"
+    bigjoin = None
+    if os.path.exists(bj_cache):
+        with open(bj_cache) as f:
+            c = json.load(f)
+        if c.get("n_vectors") == n_vectors:
+            bigjoin = c
+            print(json.dumps(bigjoin), "(cached)")
+    if bigjoin is None:
+        out = subprocess.run(
+            [sys.executable, "tools/ann_scale_bench.py", "--bigjoin", "32"],
+            capture_output=True, text=True, cwd=ROOT, check=True,
+        )
+        bigjoin = json.loads(out.stdout.strip().splitlines()[-1])
+        with open(bj_cache, "w") as f:
+            json.dump(bigjoin, f)
+        print(json.dumps(bigjoin))
 
     a2, a8, a32 = (results[c]["assign_sec"] for c in (2, 8, 32))
     b2, b8, b32 = (results[c]["build_sec"] for c in (2, 8, 32))
