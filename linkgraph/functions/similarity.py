@@ -1356,12 +1356,19 @@ def knn_ivf_indexed(
                 if qidx is None:
                     continue
                 rows = np.flatnonzero(cidv == c)
-                S = np.round(Qn[qidx] @ Vn[rows].T, 6)
-                oq, on, osim = _topk_exact(S, nids[rows], qids[qidx], k)
-                if len(oq):
-                    yield pa.record_batch(
-                        {"query_id": oq, "neighbor_id": on, "sim": osim}
-                    )
+                # same query-side chunking as _cogroup_rerank: the
+                # contractual 100k-query worst case x a scan batch is
+                # a multi-GB sim matrix per task otherwise (exact —
+                # top-k is per query row)
+                chunk = max(1, _RERANK_CHUNK_CELLS // max(len(rows), 1))
+                for s in range(0, len(qidx), chunk):
+                    qs = qidx[s : s + chunk]
+                    S = np.round(Qn[qs] @ Vn[rows].T, 6)
+                    oq, on, osim = _topk_exact(S, nids[rows], qids[qs], k)
+                    if len(oq):
+                        yield pa.record_batch(
+                            {"query_id": oq, "neighbor_id": on, "sim": osim}
+                        )
 
     v = _read_index_rows(spark, index_path).filter(
         F.col("cid").isin(probed)

@@ -624,8 +624,17 @@ def test_cogroup_rerank_query_chunking_exact(spark, vectors, tmp_path, monkeypat
     sim.build_ivf_index(vectors, idx, n_centroids=4)
     want = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
             sim.knn_ivf_join(spark, idx, vectors, k=3, n_probe=2).collect()}
+    want_idx = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+                sim.knn_ivf_indexed(
+                    spark, idx, vectors, k=3, n_probe=2).collect()}
     # ~10-row lists -> 6-row query chunks: every group multi-chunks
     monkeypatch.setattr(sim, "_RERANK_CHUNK_CELLS", 64)
     got = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
            sim.knn_ivf_join(spark, idx, vectors, k=3, n_probe=2).collect()}
     assert got == want
+    # the serving kernel chunks the same way (contractual 100k-query
+    # batch x a scan batch is multi-GB unchunked)
+    got_idx = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in
+               sim.knn_ivf_indexed(
+                   spark, idx, vectors, k=3, n_probe=2).collect()}
+    assert got_idx == want_idx
