@@ -735,7 +735,7 @@ def build_ivf_index(
     assign_udf, _ = _np_quantizer_udfs(centroids, 1)
     v = (
         vectors.select(
-            F.col(id_col).alias("neighbor_id"),
+            F.col(id_col).cast("long").alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("nv"),
         )
         .withColumn("cid", assign_udf(F.col("nv")))
@@ -800,7 +800,7 @@ def build_ivf_table(
         centroids = ivf_centroids(vectors, n_centroids, id_col, vec_col)
     assign_udf, _ = _np_quantizer_udfs(centroids, 1)
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
     ).withColumn("cid", assign_udf(F.col("nv")))
     (
@@ -1145,7 +1145,7 @@ def ivf_index_upsert(
     assign_udf, _ = _np_quantizer_udfs(centroids, 1)
     v = (
         vectors.select(
-            F.col(id_col).alias("neighbor_id"),
+            F.col(id_col).cast("long").alias("neighbor_id"),
             F.col(vec_col).cast("array<double>").alias("nv"),
         )
         .withColumn("cid", assign_udf(F.col("nv")))
