@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from linkgraph.functions.dedup import exact_dedup, minhash_verified_pairs
-from linkgraph.functions.text import language_id, quality_features
 
 
 def clean_corpus(
@@ -41,21 +40,38 @@ def clean_corpus(
     minhash_verified guarantee applied to the composed pipeline).
 
     Returns (doc_id, quality_score rounded to 6, pred_lang).
+
+    Plan shape: the quality score and language id are bare column
+    expressions (text.quality_score_col / pred_lang_col — the SAME
+    trees quality_features / language_id select, so results are
+    unchanged), folded into ONE projection over the input — the former
+    three-scans-plus-two-self-joins shape paid the document read and
+    the text expressions three times. The filtered survivor set is
+    then barriered once: every downstream stage (exact dedup, the
+    three shingle passes inside minhash_verified_pairs, the final
+    anti-join) re-reads ~survivor rows from the checkpoint instead of
+    re-running the filter chain over the full corpus per reference —
+    at 100 TB that is the difference between one corpus scan and five.
     """
-    q = quality_features(df, text_col).select("doc_id", "quality_score")
-    l = language_id(df, text_col)
-    kept = (
-        df.select("doc_id", text_col)
-        .join(q, "doc_id")
-        .join(l, "doc_id")
-        .filter(
+    from linkgraph.functions.text import pred_lang_col, quality_score_col
+    from linkgraph.plans.superstep import barrier
+
+    kept = barrier(
+        df.select(
+            "doc_id",
+            text_col,
+            quality_score_col(F.col(text_col)).alias("quality_score"),
+            pred_lang_col(F.col(text_col)).alias("pred_lang"),
+        ).filter(
             (F.col("quality_score") >= min_quality) & (F.col("pred_lang") == lang)
         )
     )
     canon = exact_dedup(kept, text_col)
-    kept = kept.join(
-        canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
-        "doc_id",
+    kept = barrier(
+        kept.join(
+            canon.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id"),
+            "doc_id",
+        )
     )
     pairs = minhash_verified_pairs(
         kept,
@@ -66,8 +82,8 @@ def clean_corpus(
         shingle_hash=shingle_hash,
     )
     removed = pairs.select(F.col("b").alias("doc_id")).distinct()
-    # quality_score is already rounded to 6 by quality_features (the
-    # same rounding the oracle applies before ITS filter)
+    # quality_score is already rounded to 6 (the same rounding the
+    # oracle applies before ITS filter)
     return kept.join(removed, "doc_id", "left_anti").select(
         "doc_id", "quality_score", "pred_lang"
     )

@@ -45,6 +45,47 @@ def char_count(col: Column) -> Column:
     return F.length(col)
 
 
+def quality_score_col(c: Column) -> Column:
+    """The composite quality score as a bare Column (rounded to 6) —
+    the single source of truth shared by ``quality_features`` and any
+    one-projection composition (functions/corpus.clean_corpus folds it
+    into the same select as the language id, so the composed pipeline
+    scans the documents once instead of three scans + two self-joins)."""
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_stop = sum(
+        (_count_occurrences(padded, m) for ms in LANG_MARKERS.values() for m in ms),
+        F.lit(0.0),
+    )
+    mean_tok_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    score = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * 0.3
+        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), 0.3).otherwise(0.0)
+    )
+    return F.round(score, 6)
+
+
+def pred_lang_col(c: Column) -> Column:
+    """The predicted-language expression as a bare Column (see
+    ``quality_score_col`` for why these exist as column builders)."""
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    scores = {
+        lang: sum((_count_occurrences(padded, m) for m in ms), F.lit(0.0))
+        for lang, ms in LANG_MARKERS.items()
+    }
+    best = None
+    for lang in sorted(scores):  # ascending code order = tie-break
+        s = scores[lang]
+        if best is None:
+            best = F.struct(s.alias("s"), F.lit(lang).alias("l"))
+        else:
+            best = F.when(scores[lang] > best["s"], F.struct(s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality features +
     composite score in [0, 1] (heuristic: long-enough docs with normal
@@ -61,11 +102,6 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean_tok_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0)
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
     stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
-    score = (
-        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * F.lit(10.0), F.lit(1.0)) * 0.3
-        + F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), 0.3).otherwise(0.0)
-    )
     return df.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -73,7 +109,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(mean_tok_len, 6).alias("mean_tok_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        quality_score_col(c).alias("quality_score"),
     )
 
 
@@ -81,20 +117,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language id: score per language = whole-word
     marker occurrences; predicted = argmax, ties broken by language
     code order, 'und' (undetermined) when no marker hits."""
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    scores = {
-        lang: sum((_count_occurrences(padded, m) for m in ms), F.lit(0.0))
-        for lang, ms in LANG_MARKERS.items()
-    }
-    best = None
-    for lang in sorted(scores):  # ascending code order = tie-break
-        s = scores[lang]
-        if best is None:
-            best = F.struct(s.alias("s"), F.lit(lang).alias("l"))
-        else:
-            best = F.when(scores[lang] > best["s"], F.struct(s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
-    pred = F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
-    return df.select("doc_id", pred.alias("pred_lang"))
+    return df.select("doc_id", pred_lang_col(F.col(text_col)).alias("pred_lang"))
 
 
 #: 31-bit Mersenne prime modulus shared by every portable-hash stream.

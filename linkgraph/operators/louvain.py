@@ -500,6 +500,97 @@ def _dense_communities(
     )
 
 
+def _louvain_full_local(
+    spark: SparkSession,
+    e: DataFrame,
+    verts: DataFrame,
+    n: int,
+    m: float,
+    min_gain: float,
+    max_rounds: int,
+    max_levels: int,
+    init_partition: DataFrame | None,
+    frontier: DataFrame | None,
+    vertices_exact: bool,
+    metrics: list[dict],
+) -> LouvainResult:
+    """Collect the (guarded-small) graph and run the complete level
+    loop on the driver (louvain_local.run_local_complete) — the
+    full-local fast path's plumbing: Arrow collects in, two Arrow
+    createDataFrames out (ONE hierarchy frame instead of a per-level
+    union — the per-level createDataFrame chain measured ~2s of pure
+    driver serialization at 11 levels). Labels/hierarchy/Q/levels/
+    metrics identical to the distributed loop (equivalence-tested)."""
+    import pandas as pd
+
+    from linkgraph.operators.louvain_local import run_local_complete
+
+    epdf = e.select("src", "dst", "weight").toPandas()
+    edge_rows = zip(
+        epdf["src"].to_numpy(), epdf["dst"].to_numpy(), epdf["weight"].to_numpy()
+    )
+    init_map = None
+    if init_partition is not None:
+        ipdf = init_partition.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("community").cast("long").alias("community"),
+        ).toPandas()
+        raw_init = dict(
+            zip((int(i) for i in ipdf["id"]), (int(c) for c in ipdf["community"]))
+        )
+        if vertices_exact:
+            # vertices_exact contract: init covers the vertex set
+            # exactly — it IS the vertex list (skips one collect)
+            vert_ids = list(raw_init)
+            init_map = raw_init
+        else:
+            vert_ids = [int(v) for v in verts.toPandas()["id"]]
+            # fallback labels offset past max(init community) — the
+            # distributed loop's coalesce(community, id + offset)
+            max_c = max(raw_init.values()) if raw_init else None
+            offset = int(max_c) + 1 if max_c is not None else 0
+            init_map = {
+                v: raw_init.get(v, v + offset) for v in vert_ids
+            }
+    else:
+        vert_ids = [int(v) for v in verts.toPandas()["id"]]
+    fr_ids = (
+        [int(v) for v in frontier.select("id").toPandas()["id"]]
+        if frontier is not None
+        else None
+    )
+    hier_levels, amap, q_final, levels_done, m_local = run_local_complete(
+        edge_rows, vert_ids, m, min_gain, max_rounds, max_levels,
+        init=init_map, frontier=fr_ids, force=init_partition is not None,
+    )
+    metrics.extend(m_local)
+    hier_pdf = pd.DataFrame(
+        [
+            (lvl, nd, c)
+            for lvl, dmap in hier_levels
+            for nd, c in dmap.items()
+        ],
+        columns=["level", "node", "community"],
+    )
+    hierarchy = spark.createDataFrame(
+        hier_pdf.astype({"level": "int32", "node": "int64", "community": "int64"}),
+        schema="level int, node long, community long",
+    )
+    assign_pdf = pd.DataFrame(
+        list(amap.items()), columns=["id", "community"]
+    ).astype({"id": "int64", "community": "int64"})
+    assignment = spark.createDataFrame(
+        assign_pdf, schema="id long, community long"
+    )
+    return LouvainResult(
+        assignment=assignment,
+        hierarchy=hierarchy,
+        modularity=q_final,
+        levels=levels_done,
+        metrics=metrics,
+    )
+
+
 def louvain(
     spark: SparkSession,
     edges: DataFrame,
@@ -544,15 +635,18 @@ def louvain(
     at the session partition count (the K1 bucketed layout) — the
     big path's one-time level-0 edge repartition is skipped (the
     gather joins along src, so the bucketing feeds it directly).
-    local_threshold: once a POST-CONTRACTION quotient has at most this
-    many vertices, the remaining levels run on the driver
-    (operators/louvain_local.py — same synchronous schedule and
-    scaled-integer algebra, labels/Q/levels/metrics identical, tested)
-    instead of paying ~12 fixed-overhead Spark jobs per tiny level;
-    the reference runs the whole optimization on one device
-    (gpulouvain.cu), so this is the faithful hybrid. 0 disables
-    (pure distributed — the plan-audit configuration). Level 0 always
-    runs distributed (warm starts and frontiers live there).
+    local_threshold: once the graph at hand has at most this many
+    vertices (and at most ``local_edge_cap`` edge rows), the level
+    loop runs on the driver (operators/louvain_local.py — same
+    synchronous schedule and scaled-integer algebra,
+    labels/Q/levels/metrics identical, tested) instead of paying ~12
+    fixed-overhead Spark jobs per level; the reference runs the whole
+    optimization on one device (gpulouvain.cu), so this is the
+    faithful hybrid. Applies at level 0 too (warm starts and
+    frontiers included — run_local_complete replays both exactly)
+    when the INPUT graph is already under the guards, and otherwise
+    to the first post-contraction quotient that fits. 0 disables
+    (pure distributed — the plan-audit configuration).
     local_edge_cap: second fast-path guard — the quotient must also
     have at most this many edge ROWS before it is collected (a 50k-
     supernode quotient of a 100-TB graph can still carry hundreds of
@@ -568,18 +662,22 @@ def louvain(
     e = _normalize(edges)
     if not pre_partitioned:
         e = e.persist()
-    # one scan for BOTH the total weight (M, utils.cu:114) and the
-    # level-0 self-loop total (a per-level constant of the Q scalar —
-    # the 0.0-otherwise terms are exact identities, so both sums equal
-    # the former separate filter+sum scans bit-for-bit)
+    # one scan for the total weight (M, utils.cu:114), the level-0
+    # self-loop total (a per-level constant of the Q scalar — the
+    # 0.0-otherwise terms are exact identities, so both sums equal
+    # the former separate filter+sum scans bit-for-bit), AND the edge
+    # row count (feeds the full-local fast-path guard with no extra
+    # job)
     trow = e.agg(
         F.sum("weight").alias("tw"),
         F.sum(
             F.when(F.col("src") == F.col("dst"), F.col("weight")).otherwise(0.0)
         ).alias("sl"),
+        F.count(F.lit(1)).alias("cnt"),
     ).first()
     total_weight = trow["tw"] or 0.0
     self_total0 = float(trow["sl"] or 0.0)
+    n_edge_rows = int(trow["cnt"] or 0)
     m = float(total_weight) / 2.0
     if vertices is not None and vertices_exact:
         verts = vertices.select(F.col("id").cast("long"))
@@ -639,6 +737,34 @@ def louvain(
             assignment=assignment, hierarchy=hierarchy, modularity=0.0,
             levels=0, metrics=metrics,
         )
+
+    if (
+        small
+        and local_threshold > 0
+        and n <= local_threshold
+        and n_edge_rows <= local_edge_cap
+    ):
+        # full-local fast path (level 0 included): the doubly-guarded
+        # collect (vertex threshold AND edge-row cap — the same guards
+        # as the post-contraction fast path below) runs the ENTIRE
+        # level loop on the driver, warm starts and frontiers
+        # included. The reference runs the whole optimization on one
+        # device (gpulouvain.cu); at these sizes ~12 fixed-overhead
+        # Spark jobs per level dominate wall time on ANY cluster, so
+        # collecting ~n_edge_rows rows once and replaying the exact
+        # operator algebra locally is the honest plan — labels, Q,
+        # levels and metrics are IDENTICAL to the distributed path
+        # (tests/test_louvain.py fast-path equivalence suite). Over
+        # either guard the distributed path below runs unchanged.
+        res = _louvain_full_local(
+            spark, e, verts, n, m, min_gain, max_rounds_per_level,
+            max_levels, init_partition, frontier,
+            vertices_exact=vertices is not None and vertices_exact,
+            metrics=metrics,
+        )
+        if not pre_partitioned:
+            e.unpersist()
+        return res
 
     if init_partition is not None:
         init = init_partition.select(

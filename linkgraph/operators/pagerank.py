@@ -34,6 +34,9 @@ Scale design — ONE exchange per superstep on the big path:
 
 from __future__ import annotations
 
+import math
+import time
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,7 +57,8 @@ def pagerank(
     checkpoint_dir: str | None = None,
     run_id: str = "pagerank",
     runner: SuperstepRunner | None = None,
-    chain: int = 1,
+    chain: int | str = "auto",
+    chain_cap: int = 16,
 ) -> DataFrame:
     """Power iteration to ``max |score - score'| < tol``.
 
@@ -89,11 +93,30 @@ def pagerank(
     rescan free); the convergence test (max per-vertex delta < tol)
     is evaluated on the chain's LAST iteration pair, so a run may
     execute up to chain-1 iterations past convergence — same
-    fixpoint criterion, coarser test granularity. chain=1 (default)
-    is the reference-exact per-iteration schedule and the plan-audit
-    configuration; runner.max_iter counts CHAINS when chain > 1.
-    Scores equal the chain=1 run's at the same iteration count
-    (identical per-iteration arithmetic; tested allclose).
+    fixpoint criterion, coarser test granularity. An integer chain=k
+    is the fixed schedule (chain=1 = the reference-exact
+    per-iteration schedule and the plan-audit configuration);
+    runner.max_iter counts CHAINS when chain > 1. Scores equal the
+    chain=1 run's at the same iteration count (identical
+    per-iteration arithmetic; tested allclose).
+
+    chain="auto" (default) sizes each superstep's chain PREDICTIVELY
+    from the observed delta decay — tol-convergence mode only (with
+    tol <= 0, i.e. the fixed-iteration oracle mode, "auto" IS
+    chain=1, so fixed-k results are untouched). The first two
+    supersteps run unchained to measure the per-iteration decay
+    ratio r; each later superstep chains ~log(tol/delta)/log(r)
+    iterations (the predicted remaining count), capped at
+    ``chain_cap``. A well-predicted run materializes each barrier
+    exactly when useful information (the convergence test) is due —
+    e.g. a 53-iteration convergence becomes ~6 jobs instead of 53 —
+    while executing the same per-iteration arithmetic. When the
+    graph has dangling vertices "auto" stays unchained: each chained
+    iteration's in-plan dangling scalar references the accumulated
+    plan twice, so plan size (and Catalyst planning time) DOUBLES per
+    chained iteration — measured 111s vs 8s on a toy graph — and the
+    per-iteration schedule is the right default there; pass an
+    explicit integer chain to override.
     """
     edges = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long"),
@@ -137,11 +160,13 @@ def pagerank(
             max_in > hub_degree_threshold and max_in > rows_per_reducer / 4.0
         )
 
+    if isinstance(chain, str) and chain != "auto":
+        raise ValueError(f"chain must be an int or 'auto', got {chain!r}")
+    auto = isinstance(chain, str) and tol > 0.0
+    chain_fixed = 1 if isinstance(chain, str) else max(1, chain)
+
     dangling_flag = verts.join(out_w, verts.id == out_w.src, "left").select(
         "id", F.col("out_w").isNull().alias("is_dangling")
-    )
-    n_dangling = (
-        dangling_flag.filter(F.col("is_dangling")).count() if chain > 1 else -1
     )
     # state partitioned on id to match edges_norm's src-partitioning;
     # barrier preserves it across supersteps
@@ -151,9 +176,44 @@ def pagerank(
     # dangling mass is carried across supersteps by `converge`; None
     # means "recompute from current state" — covers both the first
     # superstep and a mid-run resume from a durable checkpoint.
-    ctx: dict[str, float | None] = {"dangling": None}
+    # n_dangling: -1 = not yet measured (the count job runs lazily, the
+    # first time a superstep actually chains); chain_next/prev_delta
+    # drive the "auto" predictive schedule.
+    ctx: dict = {
+        "dangling": None,
+        "n_dangling": -1,
+        "chain_next": 1,
+        "prev_delta": None,
+        "cap": max(1, chain_cap),
+        # self-calibration state (auto mode): per-iteration wall cost
+        # of unchained supersteps vs inside-a-chain iterations — the
+        # job-floor-vs-stage-cost trade is machine/shape-dependent
+        # (measured: chaining is ~10x per-iteration at 32 shuffle
+        # partitions where the per-job floor dominates, and a LOSS at
+        # 2 partitions where codegen-compile per chained segment
+        # exceeds the whole unchained superstep), so the schedule
+        # probes a small chain first and turns chaining off for the
+        # rest of the run if the probe did not pay.
+        "t_last": None,
+        "uni_cost": None,
+        "no_chain": False,
+        "chained_ok": False,
+        "cap_dyn": 4,
+    }
 
-    def _one_iteration(cur: DataFrame, base_col) -> DataFrame:
+    def _one_iteration(cur: DataFrame, base_col, left: DataFrame) -> DataFrame:
+        """One power iteration: gather `cur`'s scores, update onto
+        ``left``. For the unchained schedule (and a chain's LAST
+        iteration) left IS cur, carrying old_score for the delta test.
+        Intermediate chained iterations pass the superstep's BARRIERED
+        state instead — same id set, same static is_dangling column,
+        identical arithmetic — so the accumulated plan is referenced
+        ONCE per iteration (left is a checkpoint LEAF) and chained
+        plans grow LINEARLY; with left=cur every iteration would embed
+        the accumulated plan twice (once under the aggregation, once
+        as the join's left side) and plan size/planning time would
+        double per chained iteration (measured: analysis hangs outright
+        at chain=16)."""
         scores = cur.select("id", "score")
         # broadcast below threshold (driver-serial build: small graphs
         # only); above it, shuffle-hash with the id-partitioned state as
@@ -180,18 +240,18 @@ def pagerank(
             )
         else:
             incoming = contribs.groupBy("dst").agg(F.sum("contrib").alias("incoming"))
-        # rename the join key: chained iterations join `cur` with a
-        # frame DERIVED from `cur`, where a shared `dst`/`id` lineage
+        # rename the join key: chained iterations join with a frame
+        # DERIVED from the same lineage, where a shared `dst`/`id`
         # would trip ambiguous-self-join resolution
         incoming = incoming.select(F.col("dst").alias("in_id"), "incoming")
         if not small:
             # incoming is hash-partitioned on dst by the agg; with the
             # state partitioned on id this join is exchange-free too
             incoming = incoming.hint("shuffle_hash")
-        return cur.join(incoming, cur.id == F.col("in_id"), "left").select(
-            cur.id,
-            cur.is_dangling,
-            cur.score.alias("old_score"),
+        return left.join(incoming, left.id == F.col("in_id"), "left").select(
+            left.id,
+            left.is_dangling,
+            left.score.alias("old_score"),
             (base_col + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))).alias(
                 "score"
             ),
@@ -205,20 +265,44 @@ def pagerank(
                 ).first()[0]
                 or 0.0
             )
+        k = ctx["chain_next"] if auto else chain_fixed
+        if k > 1 and ctx["n_dangling"] < 0:
+            # one-time dangling count: chained iterations on a graph
+            # WITH dangling vertices need the in-plan mass scalar,
+            # whose agg references the accumulated plan twice — plan
+            # size doubles per chained iteration (measured 111s vs 8s
+            # on a toy graph at cap 6 from pure planning) — so "auto"
+            # falls back to the unchained schedule there; an explicit
+            # integer chain is still honored (the tested fixed path)
+            ctx["n_dangling"] = dangling_flag.filter(F.col("is_dangling")).count()
+            if auto and ctx["n_dangling"] > 0:
+                ctx["cap"] = 1
+                k = 1
+        ctx["last_chain"] = k
+        n_dangling = ctx["n_dangling"]
         cur = st
-        for j in range(max(1, chain)):
+        for j in range(k):
             if j == 0 or n_dangling == 0:
                 # no dangling vertices -> the dangling term is 0.0
                 # forever and every chained iteration's base is the
                 # same constant: no in-plan scalar needed (the common
-                # case for link graphs where every page links out)
+                # case for link graphs where every page links out).
+                # Intermediate chained iterations update onto the
+                # barriered leaf `st` (linear plan growth — see
+                # _one_iteration); the last keeps `cur` as left so
+                # old_score is the true previous-iteration score for
+                # the convergence delta
                 base_col = F.lit(
                     (1.0 - damping) / n + damping * ctx["dangling"] / n
                 )
+                left = st if j < k - 1 else cur
             else:
                 # intermediate chained iteration: the dangling mass is
                 # a 1-row broadcast scalar folded into the same plan
-                # (the rescan of `cur` reuses its exchanges)
+                # (the rescan of `cur` reuses its exchanges); the
+                # dmass-augmented frame must also be the update side,
+                # so this (explicit-chain-only) mode keeps the
+                # plan-doubling shape — see the docstring's cap note
                 dm = cur.agg(
                     F.sum(
                         F.when(F.col("is_dangling"), F.col("score")).otherwise(0.0)
@@ -228,7 +312,8 @@ def pagerank(
                 base_col = F.lit((1.0 - damping) / n) + F.lit(
                     damping / n
                 ) * F.coalesce(F.col("dmass"), F.lit(0.0))
-            cur = _one_iteration(cur, base_col)
+                left = cur
+            cur = _one_iteration(cur, base_col, left)
         # convergence scalars ride the barrier's own materialization
         # (zero extra jobs per superstep): max per-vertex delta + the
         # NEXT superstep's dangling mass
@@ -246,6 +331,53 @@ def pagerank(
         row = ctx.pop("obs").get
         delta = float(row["delta"])
         ctx["dangling"] = float(row["dmass"] or 0.0)
+        if auto:
+            # calibration: compare the measured per-iteration cost of
+            # chained supersteps against unchained ones; a chain that
+            # does not beat the unchained cost switches chaining off
+            # for the rest of the run (one-way — no flapping), a chain
+            # that clearly pays raises the dynamic cap toward chain_cap
+            now = time.perf_counter()
+            iters = ctx["last_chain"]
+            if ctx["t_last"] is not None:
+                per_iter = (now - ctx["t_last"]) / iters
+                if iters == 1:
+                    u = ctx["uni_cost"]
+                    ctx["uni_cost"] = per_iter if u is None else min(u, per_iter)
+                elif ctx["uni_cost"] is not None:
+                    if per_iter >= 0.9 * ctx["uni_cost"]:
+                        ctx["no_chain"] = True
+                    else:
+                        ctx["chained_ok"] = True
+                        if per_iter <= 0.6 * ctx["uni_cost"]:
+                            ctx["cap_dyn"] = min(ctx["cap"], ctx["cap_dyn"] * 2)
+            ctx["t_last"] = now
+        if auto and delta >= tol:
+            # predictive schedule: fit the per-iteration decay ratio r
+            # from the last two observed deltas and chain the predicted
+            # remaining-iteration count log(tol/delta)/log(r) into the
+            # next superstep (capped; falls back to doubling when the
+            # decay is too flat to extrapolate, and stays unchained
+            # until two measurements exist or while delta still grows)
+            prev, iters = ctx["prev_delta"], ctx["last_chain"]
+            nxt = 1
+            if prev is not None and 0.0 < delta < prev:
+                r = (delta / prev) ** (1.0 / iters)
+                if r < 0.999:
+                    nxt = max(1, math.ceil(math.log(tol / delta) / math.log(r)))
+                else:
+                    nxt = 2 * iters
+            if ctx["no_chain"] or (not ctx["chained_ok"] and nxt < 8):
+                # chaining has a real cost floor (fresh codegen compile
+                # of every chained segment, and re-execution of the
+                # final iteration's small non-exchange tail), so a
+                # short remaining run isn't worth probing: only runs
+                # predicted to need >= 8 more iterations pay for the
+                # probe, and only a probe that measurably beat the
+                # unchained cost unlocks chaining for short tails
+                nxt = 1
+            ctx["chain_next"] = int(min(ctx["cap"], ctx["cap_dyn"], nxt))
+        ctx["prev_delta"] = delta
         return delta < tol, delta
 
     runner = runner or SuperstepRunner(

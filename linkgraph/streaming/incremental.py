@@ -227,13 +227,20 @@ def run_incremental(
     # aggregation (apply_additions(repartition_src=...)).
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     versioned = _normalize(base_edges)
-    if not pre_partitioned:
-        versioned = versioned.repartition(n_part, "src")
-    edges = barrier(
-        versioned,
-        reset_stats=True,
-        preserve_partitioning=True,
-    )
+    if pre_partitioned:
+        # the caller's contract (K1 bucketed-table read) already
+        # provides a materialized hash(src)-partitioned source; the
+        # _normalize projection preserves that partitioning, so the
+        # version-0 barrier would only copy the whole graph into
+        # executor memory once more for nothing — every later version
+        # is still barriered after its mutation as before
+        edges = versioned
+    else:
+        edges = barrier(
+            versioned.repartition(n_part, "src"),
+            reset_stats=True,
+            preserve_partitioning=True,
+        )
     metrics: list[dict] = []
     resume_pos: tuple[int, int] | None = None
     q = 0.0
