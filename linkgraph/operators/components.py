@@ -113,25 +113,37 @@ def connected_components(
         )
         gather_key, agg_key = "dst", "src"
 
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    n = verts.count()
-    # a pre-partitioned (K1 bucketed) input selects the co-partitioned
-    # plan regardless of size — see pagerank.py's rationale
-    small = (not pre_partitioned) and n <= broadcast_threshold
-    if small:
-        state = verts.withColumn("component", F.col("id"))
-    else:
-        # checkpoint the bare id-partitioned vertex set BEFORE aliasing
-        # component := id — checkpointing after the alias remaps the
-        # preserved hash partitioning onto the alias column, and every
-        # id-keyed superstep join would re-exchange the state
+    if pre_partitioned:
+        # the pre_partitioned contract is the SYMMETRIC table, so the
+        # src domain IS the vertex domain: distinct(src) runs
+        # exchange-free on the hash(src) layout (alias-aware output
+        # partitioning carries hash(src) through the id rename) and
+        # comes out id-partitioned — no union-distinct shuffle, no
+        # repartition exchange before the state checkpoint.
+        small = False
         state = barrier(
-            verts.repartition(n_part, "id"), preserve_partitioning=True
+            e.select(F.col("src").alias("id")).distinct(),
+            preserve_partitioning=True,
         ).withColumn("component", F.col("id"))
+    else:
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        n = verts.count()
+        small = n <= broadcast_threshold
+        if small:
+            state = verts.withColumn("component", F.col("id"))
+        else:
+            # checkpoint the bare id-partitioned vertex set BEFORE
+            # aliasing component := id — checkpointing after the alias
+            # remaps the preserved hash partitioning onto the alias
+            # column, and every id-keyed superstep join would
+            # re-exchange the state
+            state = barrier(
+                verts.repartition(n_part, "id"), preserve_partitioning=True
+            ).withColumn("component", F.col("id"))
 
     if isinstance(chain, str) and chain != "auto":
         raise ValueError(f"chain must be an int or 'auto', got {chain!r}")

@@ -76,38 +76,69 @@ def label_propagation(
         gather_key, agg_key = "dst", "src"
     e = e.persist()
 
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    n = verts.count()
-    # a pre-partitioned (K1 bucketed) input selects the co-partitioned
-    # plan regardless of size — see pagerank.py's rationale
-    small = (not pre_partitioned) and n <= broadcast_threshold
-    if salt_hubs is None:
-        # two-term probe: absolute degree AND reducer row share (see
-        # pagerank.py — salting below genuine pin-a-reducer scale is
-        # pure fixed overhead)
-        row = (
-            e.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .agg(F.max("d").alias("mx"), F.sum("d").alias("tot"))
-            .first()
+    if pre_partitioned:
+        # the pre_partitioned contract is the SYMMETRIC table, so the
+        # src domain IS the vertex domain: ONE degree aggregation —
+        # exchange-free on the hash(src) layout (alias-aware output
+        # partitioning carries hash(src) through the id rename) —
+        # yields the vertex set, the vertex count AND the salt probe's
+        # degree scalars; the former union-distinct vertex shuffle and
+        # the separate probe job are gone, and the state is derived
+        # from the already-id-partitioned aggregate with no
+        # repartition exchange.
+        deg = barrier(
+            e.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("d")
+            ),
+            preserve_partitioning=True,
         )
-        max_deg = int(row["mx"] or 0)
-        rows_per_reducer = float(row["tot"] or 0) / max(n_part, 1)
-        salt_hubs = (
-            max_deg > hub_degree_threshold and max_deg > rows_per_reducer / 4.0
-        )
-    if small:
-        state = verts.withColumn("label", F.col("id"))
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("d").alias("mx"),
+            F.sum("d").alias("tot"),
+        ).first()
+        n = int(row["n"] or 0)
+        small = False
+        if salt_hubs is None:
+            max_deg = int(row["mx"] or 0)
+            rows_per_reducer = float(row["tot"] or 0) / max(n_part, 1)
+            salt_hubs = (
+                max_deg > hub_degree_threshold
+                and max_deg > rows_per_reducer / 4.0
+            )
+        state = deg.select("id").withColumn("label", F.col("id"))
     else:
-        # checkpoint before aliasing label := id (see components.py —
-        # keeps the preserved hash partitioning on the id column)
-        state = barrier(
-            verts.repartition(n_part, "id"), preserve_partitioning=True
-        ).withColumn("label", F.col("id"))
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        n = verts.count()
+        small = n <= broadcast_threshold
+        if salt_hubs is None:
+            # two-term probe: absolute degree AND reducer row share (see
+            # pagerank.py — salting below genuine pin-a-reducer scale is
+            # pure fixed overhead)
+            row = (
+                e.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .agg(F.max("d").alias("mx"), F.sum("d").alias("tot"))
+                .first()
+            )
+            max_deg = int(row["mx"] or 0)
+            rows_per_reducer = float(row["tot"] or 0) / max(n_part, 1)
+            salt_hubs = (
+                max_deg > hub_degree_threshold
+                and max_deg > rows_per_reducer / 4.0
+            )
+        if small:
+            state = verts.withColumn("label", F.col("id"))
+        else:
+            # checkpoint before aliasing label := id (see components.py
+            # — keeps the preserved hash partitioning on the id column)
+            state = barrier(
+                verts.repartition(n_part, "id"), preserve_partitioning=True
+            ).withColumn("label", F.col("id"))
 
     def step(st: DataFrame, i: int) -> DataFrame:
         labels = st.select(F.col("id").alias("nid"), F.col("label").alias("nbr_label"))

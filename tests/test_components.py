@@ -79,3 +79,23 @@ def test_cc_star_isolated_and_selfloop_vertices(spark):
     )
     got = {r.id: r.component for r in connected_components_star(spark, df).collect()}
     assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_cc_auto_chain_labels_identical(spark):
+    """chain='auto' (the default doubling schedule) must produce
+    byte-identical labels to the per-iteration schedule — min-label
+    iterations are idempotent past the fixpoint — including on a long
+    path graph where chaining actually engages."""
+    from linkgraph.operators.components import connected_components
+
+    chain_edges = [(i, i + 1, 1.0) for i in range(60)] + [
+        (100 + i, 101 + i, 1.0) for i in range(25)
+    ]
+    df = spark.createDataFrame(chain_edges, "src long, dst long, weight double")
+    a = {r.id: r.component for r in connected_components(spark, df).collect()}
+    b = {r.id: r.component for r in connected_components(
+        spark, df, chain=1).collect()}
+    assert a == b
+    c = {r.id: r.component for r in connected_components(
+        spark, df, chain=4).collect()}
+    assert a == c

@@ -268,3 +268,44 @@ def test_incremental_write_trees_readback(spark, tmp_path):
     # write_trees without a checkpoint dir is a contract violation
     with pytest.raises(ValueError, match="checkpoint_dir"):
         run_incremental(spark, g, toy_deltas_df(spark), write_trees=True)
+
+
+def test_frontier_local_fast_path_identical(spark):
+    """Round-6 guarded local screening: frontier_del / frontier_add
+    under the collect thresholds return EXACTLY the distributed
+    plans' id sets (del is pure set logic; add evaluates the same gain
+    expression tree on exact integer-weight sums)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.graph.build import build_graph
+    from linkgraph.operators.louvain import louvain
+    from linkgraph.streaming.deltas import (
+        apply_additions, apply_deletions, seed_new_nodes)
+    from tests.fixtures import random_edges
+
+    base = build_graph(
+        spark.createDataFrame(
+            random_edges(200, 600, seed=5), "src long, dst long, weight double"
+        )
+    ).persist()
+    state = louvain(spark, base).assignment.persist()
+    batch = (
+        base.filter(F.col("src") < F.col("dst"))
+        .orderBy("src", "dst").limit(12).select("src", "dst", "weight")
+        .persist()
+    )
+    # deletion side
+    new_d = apply_deletions(base, batch).persist()
+    loc = {r.id for r in frontier_del(spark, new_d, state, batch).collect()}
+    dist = {r.id for r in frontier_del(
+        spark, new_d, state, batch, local_threshold=0).collect()}
+    assert loc == dist
+    # addition side (re-add the same edges onto the deleted graph)
+    new_a = apply_additions(new_d, batch).persist()
+    st2 = seed_new_nodes(spark, new_a, state, batch=batch)
+    loc_a = {r.id for r in frontier_add(spark, new_a, st2, batch).collect()}
+    dist_a = {r.id for r in frontier_add(
+        spark, new_a, st2, batch, local_threshold=0).collect()}
+    assert loc_a == dist_a
+    for df in (base, state, batch, new_d, new_a):
+        df.unpersist()

@@ -182,3 +182,64 @@ def test_local_fastpath_identical_to_distributed(spark):
     assert capped.modularity == pytest.approx(fast.modularity, rel=1e-12, abs=1e-12)
     assert capped.levels == fast.levels
     assert F is not None
+
+
+def _louvain_results_equal(a, b):
+    assert {r["id"]: r["community"] for r in a.assignment.collect()} == {
+        r["id"]: r["community"] for r in b.assignment.collect()
+    }
+    assert a.modularity == pytest.approx(b.modularity, rel=1e-12, abs=1e-12)
+    assert a.levels == b.levels
+    assert sorted(
+        (r["level"], r["node"], r["community"]) for r in a.hierarchy.collect()
+    ) == sorted(
+        (r["level"], r["node"], r["community"]) for r in b.hierarchy.collect()
+    )
+    ma = [(x["level"], x["round"], round(x["q"], 12)) for x in a.metrics if "round" in x]
+    mb = [(x["level"], x["round"], round(x["q"], 12)) for x in b.metrics if "round" in x]
+    assert ma == mb
+
+
+def test_full_local_warm_start_frontier_identical(spark):
+    """Round-6 full-local fast path (level 0 included): a warm-started,
+    frontier-restricted run through run_local_complete must reproduce
+    the distributed loop exactly — labels, Q, levels, hierarchy and
+    the (level, round, q) metric trail — in all three warm modes."""
+    from pyspark.sql import functions as F
+
+    edges = build_graph(
+        spark.createDataFrame(
+            random_edges(300, 900, seed=21), "src long, dst long, weight double"
+        )
+    ).persist()
+    init = louvain(spark, edges, local_threshold=0).assignment.persist()
+    frontier = spark.createDataFrame([(i,) for i in range(0, 300, 4)], "id long")
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = verts.count()
+
+    # warm + frontier
+    _louvain_results_equal(
+        louvain(spark, edges, init_partition=init, frontier=frontier),
+        louvain(spark, edges, init_partition=init, frontier=frontier,
+                local_threshold=0),
+    )
+    # warm + frontier + exact vertex set (the incremental loop's mode)
+    _louvain_results_equal(
+        louvain(spark, edges, init_partition=init, frontier=frontier,
+                vertices=init.select("id"), vertices_exact=True, n_vertices=n),
+        louvain(spark, edges, init_partition=init, frontier=frontier,
+                vertices=init.select("id"), vertices_exact=True, n_vertices=n,
+                local_threshold=0),
+    )
+    # partial warm cover (fallback labeling path)
+    half = init.filter(F.col("id") < 150)
+    _louvain_results_equal(
+        louvain(spark, edges, init_partition=half),
+        louvain(spark, edges, init_partition=half, local_threshold=0),
+    )
+    edges.unpersist()
+    init.unpersist()

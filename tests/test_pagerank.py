@@ -116,3 +116,36 @@ def test_pagerank_chained_converges_to_oracle(spark):
     edges = [(r.src, r.dst, r.weight) for r in g.collect()]
     result = pagerank(spark, g, tol=1e-9, chain=4)
     _assert_allclose(result, pagerank_oracle(edges, tol=1e-9), tol=1e-6)
+
+
+def test_pagerank_auto_chain_converges_like_unchained(spark):
+    """chain='auto' (the default) must reach the same fixpoint as the
+    reference per-iteration schedule: identical convergence criterion,
+    scores allclose (auto may execute a few iterations past the
+    crossing — same tolerance argument as fixed chains), and tol=0
+    fixed-k mode is EXACTLY the chain=1 schedule (oracle safety)."""
+    import math
+
+    from linkgraph.plans.superstep import SuperstepRunner
+
+    df = spark.createDataFrame(
+        random_edges(120, 480, seed=3), "src long, dst long, weight double"
+    )
+    r_auto = SuperstepRunner(spark, run_id="auto-a", max_iter=100)
+    auto = {r.id: r.score for r in pagerank(
+        spark, df, tol=1e-8, runner=r_auto).collect()}
+    r_one = SuperstepRunner(spark, run_id="auto-b", max_iter=100)
+    one = {r.id: r.score for r in pagerank(
+        spark, df, tol=1e-8, runner=r_one, chain=1).collect()}
+    assert set(auto) == set(one)
+    for k in one:
+        assert math.isclose(auto[k], one[k], rel_tol=0, abs_tol=5e-8)
+    # fixed-k mode: auto IS chain=1 (bit-identical schedule and scores)
+    r_fa = SuperstepRunner(spark, run_id="fk-a", max_iter=6)
+    fa = {r.id: r.score for r in pagerank(
+        spark, df, tol=0.0, runner=r_fa).collect()}
+    r_f1 = SuperstepRunner(spark, run_id="fk-b", max_iter=6)
+    f1 = {r.id: r.score for r in pagerank(
+        spark, df, tol=0.0, runner=r_f1, chain=1).collect()}
+    assert fa == f1
+    assert len(r_fa.metrics) == len(r_f1.metrics) == 6

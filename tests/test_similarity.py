@@ -638,3 +638,166 @@ def test_cogroup_rerank_query_chunking_exact(spark, vectors, tmp_path, monkeypat
                sim.knn_ivf_indexed(
                    spark, idx, vectors, k=3, n_probe=2).collect()}
     assert got_idx == want_idx
+
+
+def test_capped_join_uses_persisted_sizes_no_extra_scan(spark, vectors, tmp_path):
+    """VERDICT r5 #1: build_ivf_index persists per-list size stats and
+    a capped knn_ivf_join sizes its hot-list salt from them — building
+    the (lazy) join plan schedules ZERO Spark jobs (the former shape
+    ran a full corpus-side groupBy-count before every capped join).
+    Deleting the sidecar re-enables the count-pass fallback with
+    byte-identical results."""
+    import os
+
+    from linkgraph.functions.similarity import (
+        _read_index_sizes, build_ivf_index, knn_ivf_join)
+
+    idx = str(tmp_path / "ivf_sz")
+    build_ivf_index(vectors, idx, n_centroids=4)
+    sizes = _read_index_sizes(spark, idx)
+    assert sizes is not None and sum(sizes.values()) == 40
+    truth = {
+        int(r["cid"]): int(r["cnt"])
+        for r in spark.read.parquet(idx)
+        .groupBy("cid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert sizes == truth
+
+    sc = spark.sparkContext
+    # reference: jobs an UNCAPPED plan build schedules (parquet
+    # partition discovery / schema read — read setup, not salt sizing)
+    sc.setJobGroup("r6-uncapped", "uncapped join plan build")
+    try:
+        knn_ivf_join(spark, idx, vectors, k=3, n_probe=4, hot_list_cap=None)
+    finally:
+        base_jobs = sc.statusTracker().getJobIdsForGroup("r6-uncapped")
+        sc.setJobGroup(None, None)
+    sc.setJobGroup("r6-no-scan", "capped join plan build")
+    try:
+        # cap of 4 forces splitting on this index (lists ~10 rows)
+        lazy = knn_ivf_join(spark, idx, vectors, k=3, n_probe=4, hot_list_cap=4)
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("r6-no-scan")
+        sc.setJobGroup(None, None)
+    # the cap must add ZERO jobs over the uncapped build (the former
+    # shape ran a full corpus groupBy-count here)
+    assert len(jobs) <= len(base_jobs), (jobs, base_jobs)
+    with_stats = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+                  for r in lazy.collect()}
+
+    os.remove(os.path.join(idx, "_ivf_list_sizes.json"))
+    assert _read_index_sizes(spark, idx) is None
+    fallback = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+                for r in knn_ivf_join(
+                    spark, idx, vectors, k=3, n_probe=4, hot_list_cap=4
+                ).collect()}
+    assert with_stats == fallback
+
+
+def test_index_sizes_maintained_by_upsert_and_compact(spark, vectors, tmp_path):
+    """The size stats follow the maintenance ops: upsert adds the
+    batch's counts (physical rows — an upper bound under replace),
+    compact resets them to exact live counts."""
+    from linkgraph.functions.similarity import (
+        _read_index_sizes, build_ivf_index, ivf_index_compact,
+        ivf_index_delete, ivf_index_upsert)
+
+    idx = str(tmp_path / "ivf_mnt_sz")
+    build_ivf_index(vectors.filter(F.col("vec_id") < 30), idx, n_centroids=4)
+    s0 = _read_index_sizes(spark, idx)
+    assert sum(s0.values()) == 30
+    ivf_index_upsert(spark, idx, vectors.filter(F.col("vec_id") >= 30))
+    s1 = _read_index_sizes(spark, idx)
+    assert sum(s1.values()) == 40
+    # replace re-adds existing ids: physical counts now overcount live
+    ivf_index_upsert(
+        spark, idx, vectors.filter(F.col("vec_id") < 5), replace=True
+    )
+    s2 = _read_index_sizes(spark, idx)
+    assert sum(s2.values()) == 45
+    ivf_index_delete(spark, idx, [7, 8])
+    ivf_index_compact(spark, idx)
+    s3 = _read_index_sizes(spark, idx)
+    assert sum(s3.values()) == 38  # 40 live - 2 deleted
+    truth = {
+        int(r["cid"]): int(r["cnt"])
+        for r in spark.read.parquet(idx)
+        .groupBy("cid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert s3 == truth
+
+
+def test_hybrid_skew_bucketed_join(spark, vectors, tmp_path):
+    """VERDICT r5 #4: with the <table>_sizes stats, a capped
+    knn_ivf_join_table routes ONLY hot lists through the salted
+    cogroup; cold lists cogroup exchange-free off the buckets. A cap
+    small enough to make every list hot still returns byte-identical
+    rows, and the hybrid plan keeps a no-exchange corpus subtree for
+    the cold side."""
+    from linkgraph.functions.similarity import (
+        _table_list_sizes, build_ivf_table, knn_ivf_join_table)
+
+    for t in ("t_ivf_hyb", "t_ivf_hyb_centroids", "t_ivf_hyb_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_ivf_table(vectors, "t_ivf_hyb", str(tmp_path / "hyb"), n_centroids=4)
+    sizes = _table_list_sizes(spark, "t_ivf_hyb")
+    assert sizes is not None and sum(sizes.values()) == 40
+
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+            for r in knn_ivf_join_table(
+                spark, "t_ivf_hyb", vectors, k=3, n_probe=4,
+                hot_list_cap=None,
+            ).collect()}
+    # cap 4 makes several lists hot -> hybrid two-cogroup plan
+    hyb = knn_ivf_join_table(
+        spark, "t_ivf_hyb", vectors, k=3, n_probe=4, hot_list_cap=4
+    )
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.sim)
+           for r in hyb.collect()}
+    assert got == want
+
+    plan = hyb._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan
+    # the cold cogroup reads straight off the bucketed scan: at least
+    # one FlatMapCoGroupsInArrow..FileScan segment with no Exchange
+    segs = plan.split("FlatMapCoGroupsInArrow")
+    corpus_free = 0
+    for seg in segs[1:]:
+        if "FileScan" in seg:
+            head = seg[: seg.index("FileScan")]
+            if "Exchange" not in head:
+                corpus_free += 1
+    assert corpus_free >= 1, plan
+    for t in ("t_ivf_hyb", "t_ivf_hyb_centroids", "t_ivf_hyb_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_table_sizes_maintained_by_upsert_and_compact(spark, vectors, tmp_path):
+    """<table>_sizes follows ivf_table_upsert (append) and
+    ivf_table_compact (exact reset) — the bucketed analog of the
+    sidecar maintenance test."""
+    from linkgraph.functions.similarity import (
+        _table_list_sizes, build_ivf_table, ivf_table_compact,
+        ivf_table_delete, ivf_table_upsert)
+
+    for t in ("t_ivf_szm", "t_ivf_szm_centroids", "t_ivf_szm_sizes",
+              "t_ivf_szm_delta", "t_ivf_szm_tombstones", "t_ivf_szm_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    build_ivf_table(
+        vectors.filter(F.col("vec_id") < 30), "t_ivf_szm",
+        str(tmp_path / "szm"), n_centroids=4)
+    assert sum(_table_list_sizes(spark, "t_ivf_szm").values()) == 30
+    ivf_table_upsert(spark, "t_ivf_szm", vectors.filter(F.col("vec_id") >= 30))
+    assert sum(_table_list_sizes(spark, "t_ivf_szm").values()) == 40
+    ivf_table_delete(spark, "t_ivf_szm", [3, 4])
+    ivf_table_compact(spark, "t_ivf_szm")
+    s = _table_list_sizes(spark, "t_ivf_szm")
+    assert sum(s.values()) == 38
+    truth = {
+        int(r["cid"]): int(r["cnt"])
+        for r in spark.table("t_ivf_szm")
+        .groupBy("cid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert s == truth
+    for t in ("t_ivf_szm", "t_ivf_szm_centroids", "t_ivf_szm_sizes"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
