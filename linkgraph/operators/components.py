@@ -49,6 +49,7 @@ def connected_components(
     pre_partitioned: bool = False,
     chain: int | str = "auto",
     chain_cap: int = 4,
+    chain_probe_floor: float = 0.75,
 ) -> DataFrame:
     """Returns (id:long, component:long) on the undirected graph.
 
@@ -219,7 +220,18 @@ def connected_components(
                     ctx["no_chain"] = True
             ctx["t_last"] = now
             if changed:
-                if ctx["no_chain"] or ctx["uni_cost"] is None:
+                if (
+                    ctx["no_chain"]
+                    or ctx["uni_cost"] is None
+                    or ctx["uni_cost"] < chain_probe_floor
+                ):
+                    # same probe gate as pagerank: below
+                    # ``chain_probe_floor`` per unchained superstep the
+                    # job floor is within codegen-compile territory and
+                    # a chained probe can only lose (measured ~+0.5s at
+                    # the bench's 0.65s supersteps); at cluster-scale
+                    # floors the probe engages and the doubling
+                    # schedule takes over
                     ctx["chain_next"] = 1
                 else:
                     ctx["chain_next"] = min(max(1, chain_cap), 2 * ctx["last_chain"])

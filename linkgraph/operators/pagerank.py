@@ -59,6 +59,7 @@ def pagerank(
     runner: SuperstepRunner | None = None,
     chain: int | str = "auto",
     chain_cap: int = 16,
+    chain_probe_floor: float = 0.75,
 ) -> DataFrame:
     """Power iteration to ``max |score - score'| < tol``.
 
@@ -198,7 +199,13 @@ def pagerank(
         "uni_cost": None,
         "no_chain": False,
         "chained_ok": False,
-        "cap_dyn": 4,
+        # the probe chain is 2 (the cheapest chained superstep that
+        # still measures the per-iteration cost); each superstep that
+        # beats 0.6x the unchained cost doubles the dynamic cap toward
+        # chain_cap, so environments where the job floor dominates
+        # reach deep chains within ~3 supersteps while a probe that
+        # does not pay costs at most one extra-compile superstep
+        "cap_dyn": 2,
     }
 
     def _one_iteration(cur: DataFrame, base_col, left: DataFrame) -> DataFrame:
@@ -367,14 +374,30 @@ def pagerank(
                     nxt = max(1, math.ceil(math.log(tol / delta) / math.log(r)))
                 else:
                     nxt = 2 * iters
-            if ctx["no_chain"] or (not ctx["chained_ok"] and nxt < 8):
+            if ctx["no_chain"] or (
+                not ctx["chained_ok"]
+                and (
+                    nxt < 8
+                    or ctx["uni_cost"] is None
+                    or ctx["uni_cost"] < chain_probe_floor
+                )
+            ):
                 # chaining has a real cost floor (fresh codegen compile
-                # of every chained segment, and re-execution of the
-                # final iteration's small non-exchange tail), so a
-                # short remaining run isn't worth probing: only runs
-                # predicted to need >= 8 more iterations pay for the
-                # probe, and only a probe that measurably beat the
-                # unchained cost unlocks chaining for short tails
+                # of every chained segment — O(100ms) each — and
+                # re-execution of the final iteration's small
+                # non-exchange tail), so probing only makes sense when
+                # there is something to win back: the run must be
+                # predicted to need >= 8 more iterations AND the
+                # unchained superstep itself must cost at least
+                # ``chain_probe_floor`` (below that the job floor is
+                # already within compile-cost territory — the measured
+                # pages-spine case, where every chained schedule LOST
+                # to the 0.27s/superstep baseline). At cluster scale a
+                # superstep's floor is scheduler+checkpoint-bound and
+                # far above this, so the probe engages there. A probe
+                # that measurably beat the unchained cost unlocks
+                # chaining for the rest of the run including short
+                # tails; one that did not switches chaining off.
                 nxt = 1
             ctx["chain_next"] = int(min(ctx["cap"], ctx["cap_dyn"], nxt))
         ctx["prev_delta"] = delta

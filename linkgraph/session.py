@@ -18,12 +18,24 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive_warehouse: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with scale-aware defaults.
 
     AQE is on (runtime coalescing + skew-join splitting — the Spark
     analog of the reference's degree bucketing, see SURVEY.md §4 X2);
     Arrow transfer is on (the pandas-UDF fast path, §4 X8).
+
+    hive_warehouse (or $SPARK_GRAFT_HIVE_DIR): OPT-IN durable catalog
+    — an embedded-Derby Hive metastore rooted at the given directory,
+    so catalog-known bucketed layouts (K1 adjacency, L18 IVF tables)
+    keep their zero-initial-exchange plans across SESSIONS, not just
+    within one (VERDICT r5 #6; asserted by the cross-session pytest).
+    Off by default: embedded Derby holds a single-process lock on its
+    metastore_db, which would break concurrent harness invocations —
+    the in-memory catalog stays the concurrency-safe default, and a
+    production deployment points this at a real metastore/Iceberg
+    catalog instead.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
     if master is None:
@@ -39,6 +51,7 @@ def get_spark(
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(var, "1")
 
+    hive_warehouse = hive_warehouse or os.environ.get("SPARK_GRAFT_HIVE_DIR")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -61,6 +74,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if hive_warehouse:
+        builder = (
+            builder.config("spark.sql.catalogImplementation", "hive")
+            .config("spark.sql.warehouse.dir", f"{hive_warehouse}/warehouse")
+            .config(
+                "javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={hive_warehouse}/metastore_db;create=true",
+            )
+            .enableHiveSupport()
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
