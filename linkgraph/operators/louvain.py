@@ -526,7 +526,7 @@ def _louvain_full_local(
     from linkgraph.operators.louvain_local import run_local_complete
 
     epdf = e.select("src", "dst", "weight").toPandas()
-    edge_rows = zip(
+    edge_rows = (
         epdf["src"].to_numpy(), epdf["dst"].to_numpy(), epdf["weight"].to_numpy()
     )
     init_map = None

@@ -63,8 +63,29 @@ def extract_pages(spark: SparkSession, pages: DataFrame) -> DataFrame:
 
 
 def page_links(spark: SparkSession, pages: DataFrame) -> DataFrame:
-    """Exploded link relation (url, out_url, anchor)."""
-    ex = extract_pages(spark, pages)
+    """Exploded link relation (url, out_url, anchor).
+
+    Links-only extraction: an opaque mapInPandas defeats Spark's
+    column pruning (guide §4 — the planner cannot see that downstream
+    drops ``text``), so the graph-ingest spine must not compute the
+    tag-strip/whitespace-normalize text pass or ship the text column
+    through Arrow at all. Same link rows as ``extract_pages`` (the
+    regex and row order are shared)."""
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "links": extract_links_series(pdf["html"]).map(
+                        lambda ls: [{"href": h, "anchor": a} for h, a in ls]
+                    ),
+                }
+            )
+
+    ex = pages.select("url", "html").mapInPandas(
+        run, schema="url string, links array<struct<href string, anchor string>>"
+    )
     return ex.select(
         "url", F.explode("links").alias("l")
     ).select("url", F.col("l.href").alias("out_url"), F.col("l.anchor").alias("anchor"))
