@@ -478,10 +478,17 @@ def _q_knn_ivf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    tbl = "linkgraph_harness_ivf_mor"
+    # table name/path derived from sf_dir (ADVICE r5): two concurrent
+    # harness invocations on different sf dirs no longer race on one
+    # fixed global table — one run's idempotent-rebuild cleanup cannot
+    # drop the other's live table mid-query
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    tbl = f"linkgraph_harness_ivf_mor_{tag}"
     path = os.path.join(tempfile.gettempdir(), tbl)
     # idempotent rebuild: a prior run's companions would double-append
-    for sfx in ("", "_centroids", "_delta", "_tombstones", "_meta"):
+    for sfx in ("", "_centroids", "_sizes", "_delta", "_tombstones", "_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}{sfx}")
         fs, jp = _fs_for(spark, path + sfx)
         if fs.exists(jp):

@@ -446,7 +446,16 @@ def _cogroup_rerank(
     The kernel additionally chunks the QUERY side of each group to
     ``_RERANK_CHUNK_CELLS`` sim-matrix cells (exact — top-k is per
     query row), bounding task memory on the axis hot_list_cap does
-    not: a popular list probed by a large distributed query batch."""
+    not: a popular list probed by a large distributed query batch.
+
+    Rounding-boundary caveat (ADVICE r5): a chunked dgemm may pick
+    different BLAS blocking than the unchunked full matmul, so a raw
+    sim can differ in the last ulp; after round(., 6) this matters
+    only for a sim within float-noise of a .5e-6 boundary — the same
+    caveat class embedding_near_dup_pairs documents. The
+    chunked == unchunked equality tests hold on their fixtures (and
+    on every fixture tried), but the claim is probabilistic at scale,
+    not unconditional byte-identity."""
     import pyarrow as pa
 
     keys = ["cid"]
@@ -1141,10 +1150,17 @@ def ivf_table_upsert(
             ).coalesce(1),
         )
     v = v.persist()
-    _companion_write(spark, table, "_delta", v)
+    # gen row BEFORE the delta append (ADVICE r5): a crash between the
+    # two then under-serves a generation number (the recorded gen has
+    # no rows yet — harmless; the next upsert takes gen+1), where the
+    # old order left served delta rows stamped one generation AHEAD of
+    # the recorded gen, silently shielded from a subsequent delete's
+    # cut until another upsert bumped the counter. Same ordering
+    # argument as the replace-path's tombstone-first rule.
     _companion_write(
         spark, table, "_meta", spark.createDataFrame([(gen,)], "gen long")
     )
+    _companion_write(spark, table, "_delta", v)
     # append the batch's per-list counts to the size stats (one
     # batch-sized agg; the table is never scanned) — skipped for a
     # stat-less pre-round-6 table, whose queries keep the count-pass
@@ -1324,10 +1340,14 @@ def ivf_index_upsert(
             index_path.rstrip("/") + "/_tombstones"
         )
     v = v.persist()
-    v.write.mode("append").partitionBy("cid").parquet(index_path)
+    # gen sidecar BEFORE the row append (the table variant's ADVICE r5
+    # ordering, applied here too): a crash between them under-serves a
+    # gen number instead of leaving served rows stamped ahead of the
+    # recorded gen (undeletable until the next successful upsert).
     _sidecar_write(
         spark, index_path.rstrip("/") + "/_ivf_meta.json", {"gen": gen}
     )
+    v.write.mode("append").partitionBy("cid").parquet(index_path)
     # maintain the list-size stats with the BATCH's counts only (one
     # batch-sized agg off the persisted frame — the corpus is never
     # scanned). replace=True leaves the old copies in the files, so

@@ -38,6 +38,20 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _code_version() -> str:
+    """git HEAD of the repo — cached results are stamped with it so a
+    code change invalidates them instead of reprinting a stale wall
+    time as freshly measured (ADVICE r5)."""
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=ROOT, timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
 sys.path.insert(0, ROOT)
 
 VECS = "/tmp/linkgraph_scale_vecs"
@@ -201,13 +215,14 @@ def main() -> None:
     # per-level results cached on disk: a killed orchestration resumes
     # with only the missing parallelism levels (same-n guard)
     cache = VECS + "_results.json"
+    ver = _code_version()
     results = {}
     if os.path.exists(cache):
         with open(cache) as f:
             results = {
                 int(c): r
                 for c, r in json.load(f).items()
-                if r["n_vectors"] == n_vectors
+                if r["n_vectors"] == n_vectors and r.get("code") == ver
             }
     for cores in (32, 8, 2):
         if cores in results:
@@ -219,6 +234,7 @@ def main() -> None:
         )
         line = out.stdout.strip().splitlines()[-1]
         results[cores] = json.loads(line)
+        results[cores]["code"] = ver
         print(line)
         with open(cache, "w") as f:
             json.dump(results, f)
@@ -232,7 +248,7 @@ def main() -> None:
     if os.path.exists(bj_cache):
         with open(bj_cache) as f:
             c = json.load(f)
-        if c.get("n_vectors") == n_vectors:
+        if c.get("n_vectors") == n_vectors and c.get("code") == ver:
             bigjoin = c
             print(json.dumps(bigjoin), "(cached)")
     if bigjoin is None:
@@ -241,6 +257,7 @@ def main() -> None:
             capture_output=True, text=True, cwd=ROOT, check=True,
         )
         bigjoin = json.loads(out.stdout.strip().splitlines()[-1])
+        bigjoin["code"] = ver
         with open(bj_cache, "w") as f:
             json.dump(bigjoin, f)
         print(json.dumps(bigjoin))
